@@ -1,0 +1,91 @@
+"""Headline benchmark: spheres config (BASELINE #1) on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Metric: pair-interactions/sec/chip for the full simulation step (broad phase
+amortized via skin rebuilds + Hertzian forces + Brownian + Euler) at the
+largest body count that fits comfortably. The reference publishes no numbers
+(BASELINE.md), so vs_baseline compares against the previous round's recorded
+value when BENCH_r*.json exists, else 1.0.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    steps = int(os.environ.get("BENCH_STEPS", 50))
+    from mundy_tpu.driver.apps.spheres import SpheresConfig, SpheresSim
+
+    # volume fraction ~5%: box scaled to n
+    radius = 0.5
+    phi = 0.05
+    vol = n * (4.0 / 3.0) * 3.141592653589793 * radius**3 / phi
+    box = vol ** (1.0 / 3.0)
+
+    cfg = SpheresConfig(
+        num_spheres=n,
+        box_size=box,
+        radius=radius,
+        youngs_modulus=1000.0,
+        diffusion_coeff=0.1,
+        dt=1e-4,
+        skin=0.4,
+        max_neighbors=32,
+        cell_capacity=16,
+        chunk=65536,
+        dtype="float32",
+    )
+    sim = SpheresSim(cfg)
+    state = sim.init()
+    jax.block_until_ready(state)
+
+    # warm up / compile
+    state = sim.run_block(state, 3)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    state = sim.run_block(state, steps)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = steps / elapsed
+    # directed neighbor interactions evaluated per step
+    pair_evals = int(jnp.sum(state.nmat.mask))
+    pairs_per_sec = steps_per_sec * pair_evals
+
+    prev = 0.0
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            with open(f) as fh:
+                rec = json.load(fh)
+            if rec.get("unit") == "pair-interactions/sec/chip":
+                prev = float(rec.get("value", 0.0))
+        except Exception:
+            pass
+    vs_baseline = pairs_per_sec / prev if prev > 0 else 1.0
+
+    print(json.dumps({
+        "metric": f"hertzian-contact step, {n} spheres (phi=0.05), pair interactions/sec/chip",
+        "value": pairs_per_sec,
+        "unit": "pair-interactions/sec/chip",
+        "vs_baseline": vs_baseline,
+        "steps_per_sec": steps_per_sec,
+        "num_bodies": n,
+        "pair_evals_per_step": pair_evals,
+        "overflow": bool(state.overflow),
+    }))
+
+
+if __name__ == "__main__":
+    main()

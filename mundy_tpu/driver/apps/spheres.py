@@ -1,0 +1,217 @@
+"""BASELINE config #1: spheres in a periodic box — Hertzian contact,
+overdamped (Stokes drag) dynamics, optional Brownian motion, explicit Euler.
+
+This is the TPU re-design of the minimal reference pipeline (SURVEY.md §7
+step 6): cell-list neighbors with a skin-distance rebuild trigger
+(HP1 driver `:1404-1427`), Hertzian pair forces
+(`SphereSphereHertzianContact.cpp`), local-drag mobility U = F/(6 pi mu r)
+(`StkNgpLCP.cpp:620-624`), Brownian velocity (`SpheresKernel.cpp:119-123`),
+node-Euler update (HP1 `:1523`).
+
+Everything — including the conditional neighbor rebuild — lives inside one
+jitted `step`, so a whole `steps_per_block` window runs on-chip with zero
+host round-trips (`lax.cond` executes the rebuild branch only when the skin
+is broken).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math as _math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.core.containers import pytree_dataclass, static_field
+from mundy_tpu.dynamics import brownian_velocity, euler_step
+from mundy_tpu.forces import hertzian_contact_forces
+from mundy_tpu.geom import periodic
+from mundy_tpu.geom.periodicity import Metric
+from mundy_tpu.neighbor import (
+    CellList,
+    NeighborMatrix,
+    build_cell_list,
+    make_cell_grid,
+    neighbor_matrix,
+)
+
+
+@dataclasses.dataclass
+class SpheresConfig:
+    """Validated config (ref: the ParameterList sublists of the drivers)."""
+
+    num_spheres: int = 10_000
+    box_size: float = 40.0  # cubic periodic box edge
+    radius: float = 0.5
+    youngs_modulus: float = 1000.0
+    poissons_ratio: float = 0.3
+    viscosity: float = 1.0
+    diffusion_coeff: float = 0.0  # 0 disables Brownian motion
+    dt: float = 1e-4
+    num_steps: int = 1000
+    skin: float = 0.25  # neighbor-list margin (distance units)
+    max_neighbors: int = 48
+    cell_capacity: int = 24
+    chunk: int = 8192
+    seed: int = 1234
+    dtype: str = "float32"
+    log_every: int = 100
+
+    def __validate__(self):
+        assert self.num_spheres > 0, "num_spheres must be positive"
+        assert self.box_size > 4 * (self.radius + self.skin), "box too small"
+        assert self.dt > 0 and self.num_steps >= 0
+
+
+@pytree_dataclass
+class SpheresState:
+    pos: Array  # (N, 3)
+    key: Array  # PRNG key
+    step: Array  # () int32
+    nmat: NeighborMatrix
+    ref_pos: Array  # positions at last rebuild
+    rebuild_count: Array  # () int32
+    overflow: Array  # () bool (sticky)
+
+
+class SpheresSim:
+    """Assembles the jitted step for the spheres config."""
+
+    def __init__(self, config: SpheresConfig):
+        self.config = config
+        c = config
+        self.dtype = jnp.dtype(c.dtype)
+        box = np.array([c.box_size] * 3)
+        self.metric: Metric = periodic(box, dtype=self.dtype)
+        # search radius = bounding radius + skin/2 per body => pair cutoff
+        # = 2r + skin; cell edge must cover the pair cutoff.
+        self.search_radius = c.radius + 0.5 * c.skin
+        self.grid = make_cell_grid(
+            [0, 0, 0], box, min_cell_size=2 * self.search_radius,
+            periodic=(True,) * 3, dtype=self.dtype,
+        )
+        self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
+        self._step_jit = jax.jit(self._step)
+        self._init_jit = jax.jit(self._init)
+
+    # ------------------------------------------------------------------
+    def _build_nmat(self, pos: Array) -> tuple[NeighborMatrix, Array]:
+        c = self.config
+        clist = build_cell_list(pos, self.grid, c.cell_capacity)
+        nmat = neighbor_matrix(
+            pos, clist,
+            jnp.asarray(self.search_radius, self.dtype),
+            metric=self.metric,
+            max_neighbors=c.max_neighbors,
+            chunk=min(c.chunk, max(256, c.num_spheres)),
+        )
+        return nmat, clist.overflow | nmat.overflow
+
+    def _init(self, key: Array) -> SpheresState:
+        c = self.config
+        kpos, kstate = jax.random.split(key)
+        pos = jax.random.uniform(
+            kpos, (c.num_spheres, 3), dtype=self.dtype, maxval=c.box_size
+        )
+        nmat, ovf = self._build_nmat(pos)
+        return SpheresState(
+            pos=pos, key=kstate, step=jnp.asarray(0, jnp.int32), nmat=nmat,
+            ref_pos=pos, rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf,
+        )
+
+    def init(self, key: Optional[Array] = None) -> SpheresState:
+        if key is None:
+            key = jax.random.PRNGKey(self.config.seed)
+        return self._init_jit(key)
+
+    # ------------------------------------------------------------------
+    def _step(self, state: SpheresState) -> SpheresState:
+        c = self.config
+        pos = state.pos
+
+        # conditional neighbor rebuild (skin trigger, on-chip)
+        disp = self.metric.sep(state.ref_pos, pos)
+        moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (0.5 * c.skin) ** 2
+
+        def rebuild(_):
+            nmat, ovf = self._build_nmat(pos)
+            return nmat, pos, state.rebuild_count + 1, state.overflow | ovf
+
+        def keep(_):
+            return state.nmat, state.ref_pos, state.rebuild_count, state.overflow
+
+        nmat, ref_pos, rebuilds, overflow = jax.lax.cond(moved, rebuild, keep, None)
+
+        radius = jnp.asarray(c.radius, self.dtype)
+        force = hertzian_contact_forces(
+            pos,
+            jnp.broadcast_to(radius, (c.num_spheres,)),
+            jnp.asarray(c.youngs_modulus, self.dtype),
+            jnp.asarray(c.poissons_ratio, self.dtype),
+            nmat,
+            metric=self.metric,
+        )
+        vel = self.inv_drag * force
+        if c.diffusion_coeff > 0.0:
+            vel = vel + brownian_velocity(
+                state.key, state.step, c.num_spheres,
+                jnp.asarray(c.diffusion_coeff, self.dtype), c.dt, dtype=self.dtype,
+            )
+        new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
+        return state.replace(
+            pos=new_pos, step=state.step + 1, nmat=nmat, ref_pos=ref_pos,
+            rebuild_count=rebuilds, overflow=overflow,
+        )
+
+    def step(self, state: SpheresState) -> SpheresState:
+        return self._step_jit(state)
+
+    def run_block(self, state: SpheresState, n_steps: int) -> SpheresState:
+        """n_steps fully on-chip (scan over the jitted step)."""
+
+        def body(s, _):
+            return self._step(s), None
+
+        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n_steps)[0])(state)
+
+    # ------------------------------------------------------------------
+    def run(self, state: Optional[SpheresState] = None, log=print):
+        """Host loop with tps telemetry (ref HP1 driver `:1496-1516`)."""
+        c = self.config
+        if state is None:
+            state = self.init()
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        done = 0
+        while done < c.num_steps:
+            block = min(c.log_every, c.num_steps - done)
+            state = self.run_block(state, block)
+            jax.block_until_ready(state)
+            done += block
+            elapsed = time.perf_counter() - t0
+            tps = done / elapsed
+            log(
+                f"step {done}/{c.num_steps}  tps={tps:.1f}  "
+                f"rebuilds={int(state.rebuild_count)}  "
+                f"overflow={bool(state.overflow)}"
+            )
+        if bool(state.overflow):
+            raise RuntimeError(
+                "neighbor capacity overflow: raise max_neighbors/cell_capacity"
+            )
+        return state
+
+    # diagnostics ------------------------------------------------------
+    def max_overlap(self, state: SpheresState) -> float:
+        """Worst pair overlap (positive = penetration), for validation."""
+        c = self.config
+        pos = state.pos
+        idx = jnp.minimum(state.nmat.idx, c.num_spheres - 1)
+        sep = self.metric.sep(pos[:, None, :], pos[idx])
+        d = jnp.linalg.norm(sep, axis=-1) - 2 * c.radius
+        d = jnp.where(state.nmat.mask, d, jnp.inf)
+        return float(-jnp.min(d))

@@ -1,0 +1,279 @@
+"""Dense cell-list broad phase (static shapes, jit-compatible).
+
+Replaces `GenNeighborLinks::generate` (`GenNeighborLinkers.hpp:510-741`):
+search spheres -> coarse search -> filters -> link pools becomes
+bin -> 27-cell gather -> masked cutoff -> (dense neighbor matrix | compacted
+pair list). The skin-distance rebuild trigger mirrors the reference's
+`objects_moved_too_much` displacement accumulation
+(`HP1...neigh_linker.cpp:1404-1427`).
+
+Shapes are static everywhere: the grid dims and capacities are Python ints
+(recompile on regrow — the host-side "regrow path" of SURVEY.md §7), and
+overflow is reported as a traced bool the host can check between steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.core.containers import pytree_dataclass, static_field
+from mundy_tpu.geom.periodicity import Metric
+
+
+@pytree_dataclass
+class CellGrid:
+    """Static grid geometry. dims/capacity are trace-time constants."""
+
+    origin: Array  # (3,) lower corner of the binned domain
+    cell_size: Array  # (3,) cell edge lengths
+    dims: tuple = static_field(default=(1, 1, 1))  # (nx, ny, nz)
+    periodic: tuple = static_field(default=(False, False, False))
+
+
+@pytree_dataclass
+class CellList:
+    """Dense bucketed cells: entries[c, k] = particle index or -1."""
+
+    grid: CellGrid
+    entries: Array  # (ncells, cell_capacity) int32
+    counts: Array  # (ncells,) int32
+    cell_of: Array  # (N,) int32 cell index per particle
+    overflow: Array  # () bool — some cell exceeded capacity
+
+
+class NeighborMatrix(NamedTuple):
+    """Per-particle dense neighbor ids (the force-kernel format)."""
+
+    idx: Array  # (N, K) int32 neighbor ids, N (=self) marks empty slots
+    mask: Array  # (N, K) bool
+    overflow: Array  # () bool — a particle had more than K neighbors
+
+
+class PairList(NamedTuple):
+    """Compacted unique (i < j) pairs (the constraint-assembly format)."""
+
+    i: Array  # (C,) int32
+    j: Array  # (C,) int32
+    mask: Array  # (C,) bool
+    num_pairs: Array  # () int32
+    overflow: Array  # () bool — more than C pairs found
+
+
+def make_cell_grid(domain_low, domain_high, min_cell_size: float,
+                   periodic=(False, False, False), dtype=jnp.float32) -> CellGrid:
+    """Host-side grid setup: as many cells as fit with edge >= min_cell_size.
+
+    min_cell_size must be >= the largest pair interaction cutoff so that all
+    neighbors of a particle live in the 27 surrounding cells.
+    """
+    low = np.asarray(domain_low, dtype=np.float64)
+    high = np.asarray(domain_high, dtype=np.float64)
+    extent = high - low
+    dims = np.maximum(np.floor(extent / min_cell_size).astype(int), 1)
+    cell = extent / dims
+    return CellGrid(
+        origin=jnp.asarray(low, dtype),
+        cell_size=jnp.asarray(cell, dtype),
+        dims=tuple(int(d) for d in dims),
+        periodic=tuple(bool(p) for p in periodic),
+    )
+
+
+def _cell_coords(grid: CellGrid, pos: Array) -> Array:
+    """Integer cell coords of each position, clamped/wrapped into the grid."""
+    rel = (pos - grid.origin) / grid.cell_size
+    c = jnp.floor(rel).astype(jnp.int32)
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    per = jnp.asarray(grid.periodic, bool)
+    wrapped = jnp.mod(c, dims)
+    clamped = jnp.clip(c, 0, dims - 1)
+    return jnp.where(per, wrapped, clamped)
+
+
+def _linear_cell(grid: CellGrid, c: Array) -> Array:
+    nx, ny, _nz = grid.dims
+    return c[..., 0] + nx * (c[..., 1] + ny * c[..., 2])
+
+
+def build_cell_list(pos: Array, grid: CellGrid, cell_capacity: int) -> CellList:
+    """Bin particles into the dense (ncells, capacity) table.
+
+    Pure-XLA construction: sort by cell id, compute within-cell rank by a
+    segment trick, scatter into the dense table. One sort = the Morton-sort
+    locality pass of the reference's LBVH build.
+    """
+    n = pos.shape[0]
+    ncells = int(np.prod(grid.dims))
+    cell_of = _linear_cell(grid, _cell_coords(grid, pos))
+
+    order = jnp.argsort(cell_of)
+    sorted_cells = cell_of[order]
+
+    # rank within cell: position since the start of this cell's run
+    first_of_run = jnp.concatenate(
+        [jnp.zeros((1,), bool), sorted_cells[1:] != sorted_cells[:-1]]
+    )
+    run_starts = jnp.where(first_of_run, jnp.arange(n, dtype=jnp.int32), 0)
+    start_of_cell = jax.lax.associative_scan(jnp.maximum, run_starts)
+    rank = jnp.arange(n, dtype=jnp.int32) - start_of_cell
+
+    counts = jnp.zeros((ncells,), jnp.int32).at[cell_of].add(1)
+    overflow = jnp.any(counts > cell_capacity)
+
+    keep = rank < cell_capacity
+    flat_slot = sorted_cells * cell_capacity + jnp.minimum(rank, cell_capacity - 1)
+    entries = jnp.full((ncells * cell_capacity,), -1, jnp.int32)
+    entries = entries.at[jnp.where(keep, flat_slot, ncells * cell_capacity)].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    return CellList(
+        grid=grid,
+        entries=entries.reshape(ncells, cell_capacity),
+        counts=counts,
+        cell_of=cell_of,
+        overflow=overflow,
+    )
+
+
+def _neighbor_cell_table(grid: CellGrid) -> np.ndarray:
+    """(27, 3) integer offsets — trace-time constant."""
+    offs = np.array(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        dtype=np.int32,
+    )
+    return offs
+
+
+def _neighbor_cells_of(grid: CellGrid, coords: Array) -> tuple[Array, Array]:
+    """For cell coords (..., 3) return (27 linear ids, validity) with wrap/clip."""
+    offs = jnp.asarray(_neighbor_cell_table(grid))  # (27, 3)
+    nb = coords[..., None, :] + offs  # (..., 27, 3)
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    per = jnp.asarray(grid.periodic, bool)
+    in_range = (nb >= 0) & (nb < dims)
+    valid = jnp.all(in_range | per, axis=-1)  # (..., 27)
+    nb = jnp.where(per, jnp.mod(nb, dims), jnp.clip(nb, 0, dims - 1))
+    return _linear_cell(grid, nb), valid
+
+
+def neighbor_matrix(
+    pos: Array,
+    clist: CellList,
+    search_radius: Array,
+    metric: Optional[Metric] = None,
+    max_neighbors: int = 32,
+    chunk: int = 4096,
+    exclude: Optional[Array] = None,
+) -> NeighborMatrix:
+    """Per-particle neighbor ids within search_radius_i + search_radius_j.
+
+    Chunked over particles so the (chunk, 27*cap) candidate buffer stays
+    small — at 1M particles nothing of size O(N * 27 * cap) is ever
+    materialized. `exclude` is an optional (N, E) int32 table of particle ids
+    to drop (the reference's ExcludeConnectedEntities filter,
+    `GenNeighborLinkers.hpp:202`); self-pairs are always dropped
+    (ExcludeSelfInteractions, `:185`).
+    """
+    n = pos.shape[0]
+    grid = clist.grid
+    cap = clist.entries.shape[1]
+    search_radius = jnp.broadcast_to(search_radius, (n,))
+
+    # pad to chunk multiple
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    pad = n_pad - n
+    pos_p = jnp.concatenate([pos, jnp.zeros((pad, 3), pos.dtype)], axis=0)
+    rad_p = jnp.concatenate([search_radius, jnp.zeros((pad,), search_radius.dtype)])
+    if exclude is not None:
+        excl_p = jnp.concatenate(
+            [exclude, jnp.full((pad, exclude.shape[1]), -1, exclude.dtype)], axis=0
+        )
+
+    coords_all = _cell_coords(grid, pos_p)
+
+    def one_chunk(start):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=0)
+        p = sl(pos_p)  # (chunk, 3)
+        r = sl(rad_p)
+        coords = sl(coords_all)
+        cells27, valid27 = _neighbor_cells_of(grid, coords)  # (chunk, 27)
+        cand = clist.entries[cells27]  # (chunk, 27, cap)
+        cand = jnp.where(valid27[..., None], cand, -1)
+        cand = cand.reshape(chunk, 27 * cap)
+
+        cand_idx = jnp.maximum(cand, 0)
+        cand_pos = pos_p[cand_idx]
+        cand_rad = rad_p[cand_idx]
+        if metric is None:
+            sep = cand_pos - p[:, None, :]
+        else:
+            sep = metric.sep(p[:, None, :], cand_pos)
+        d2 = jnp.sum(sep * sep, axis=-1)
+        cutoff = r[:, None] + cand_rad
+        me = start + jnp.arange(chunk, dtype=jnp.int32)
+        ok = (cand >= 0) & (d2 <= cutoff * cutoff) & (cand != me[:, None])
+        if exclude is not None:
+            ex = sl(excl_p)  # (chunk, E)
+            ok &= jnp.all(cand[:, :, None] != ex[:, None, :], axis=-1)
+
+        # compact each row to the first K hits (sort mask descending, stable)
+        order = jnp.argsort(~ok, axis=1, stable=True)[:, :max_neighbors]
+        row_ok = jnp.take_along_axis(ok, order, axis=1)
+        row_idx = jnp.take_along_axis(cand, order, axis=1)
+        count = jnp.sum(ok, axis=1)
+        return (
+            jnp.where(row_ok, row_idx, n),
+            row_ok,
+            jnp.any(count > max_neighbors),
+        )
+
+    starts = jnp.arange(0, n_pad, chunk, dtype=jnp.int32)
+    idx_c, mask_c, ovf_c = jax.lax.map(one_chunk, starts)
+    idx = idx_c.reshape(n_pad, max_neighbors)[:n]
+    mask = mask_c.reshape(n_pad, max_neighbors)[:n]
+    return NeighborMatrix(idx=idx, mask=mask, overflow=jnp.any(ovf_c))
+
+
+def build_pair_list(nmat: NeighborMatrix, capacity: int) -> PairList:
+    """Unique (i < j) pairs compacted from a neighbor matrix.
+
+    The capacity-bounded replacement for dynamic link creation
+    (`LinkData.hpp:159-183`): fixed-size output + overflow flag; padded slots
+    carry mask=False and (0, 0) indices.
+    """
+    n, k = nmat.idx.shape
+    ii = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)
+    jj = nmat.idx.reshape(-1).astype(jnp.int32)
+    ok = nmat.mask.reshape(-1) & (ii < jj)
+
+    num = jnp.sum(ok)
+    slot = jnp.cumsum(ok) - 1
+    dest = jnp.where(ok & (slot < capacity), slot, capacity)
+    i_out = jnp.zeros((capacity,), jnp.int32).at[dest].set(ii, mode="drop")
+    j_out = jnp.zeros((capacity,), jnp.int32).at[dest].set(jj, mode="drop")
+    mask_out = jnp.zeros((capacity,), bool).at[dest].set(ok, mode="drop")
+    return PairList(
+        i=i_out, j=j_out, mask=mask_out, num_pairs=num, overflow=num > capacity
+    )
+
+
+def need_rebuild(pos: Array, ref_pos: Array, skin: Array,
+                 metric: Optional[Metric] = None) -> Array:
+    """True when any particle moved more than skin/2 since the list was built.
+
+    Mirrors the reference's displacement-vs-skin trigger
+    (`objects_moved_too_much`, HP1 driver `:1404-1427`): with search radii
+    inflated by `skin`, the list stays valid until total displacement could
+    close half the margin from each side.
+    """
+    if metric is None:
+        disp = pos - ref_pos
+    else:
+        disp = metric.sep(ref_pos, pos)
+    max_disp = jnp.max(jnp.linalg.norm(disp, axis=-1))
+    return max_disp > 0.5 * skin

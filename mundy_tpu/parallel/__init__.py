@@ -1,0 +1,11 @@
+"""Multi-chip execution over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's MPI layer (SURVEY.md §2.7): rank
+decomposition -> sharded particle arrays; `stk::all_reduce_*` -> psum/pmax;
+ghosting/aura -> halo exchange (all-gather of boundary slabs or ppermute
+rings); RCB load balance -> Hilbert-key resharding.
+"""
+
+from mundy_tpu.parallel.sharded_step import make_sharded_spheres_step
+
+__all__ = ["make_sharded_spheres_step"]

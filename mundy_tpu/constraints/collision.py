@@ -1,0 +1,117 @@
+"""Non-penetration collision resolution via matrix-free BBPGD LCP.
+
+Re-designs the reference's collision pipeline (`scrap/lcp_spheres/
+StkNgpLCP.cpp`): constraint generation (`:468-510`), force assembly D*gamma
+(`sum_collision_force:578`), mobility product U = M F (`:612`), constraint
+rate sdot = D^T U (`compute_rate_of_change_of_sep:635`), and the BBPGD
+iteration with Dai-Fletcher residual (`:705-875`) — as one call into the
+generic BBPGD solver (mundy_tpu.math.convex) with the Delassus operator
+A = dt * D^T M D expressed matrix-free through scatter/gather + a pluggable
+mobility apply.
+
+LCP statement (per the reference): find gamma >= 0 with
+    sep_new = sep0 + dt * D^T M D gamma >= 0,  gamma . sep_new = 0
+i.e. A = dt * D^T M D, q = sep0, residual measured on sep_new (the
+projected-gradient residual of convex.py equals the reference's
+`compute_maximum_abs_projected_sep` with tol on overlap distance).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import Array
+
+from mundy_tpu.geom.periodicity import Metric
+from mundy_tpu.math.convex import PGDConfig, SolveResult, solve_lcp
+from mundy_tpu.neighbor.cell_list import PairList
+
+
+class CollisionSetup(NamedTuple):
+    """Per-pair constraint data (capacity-padded, mask in `pairs.mask`)."""
+
+    pairs: PairList
+    normals: Array  # (C, 3) unit, from body i toward body j
+    sep0: Array  # (C,) signed separation at assembly time
+
+
+def collision_setup_spheres(
+    pos: Array,
+    radius: Array,
+    pairs: PairList,
+    metric: Optional[Metric] = None,
+) -> CollisionSetup:
+    """Signed separation + contact normal per pair.
+
+    ref: compute_signed_separation_distance_and_contact_normal
+    (`StkNgpLCP.cpp:468-510`).
+    """
+    pi = pos[pairs.i]
+    pj = pos[pairs.j]
+    sep = (pj - pi) if metric is None else metric.sep(pi, pj)
+    d = jnp.sqrt(jnp.maximum(jnp.sum(sep * sep, axis=-1), 1e-24))
+    normals = sep / d[..., None]
+    radius = jnp.broadcast_to(radius, pos.shape[:1])
+    sep0 = d - radius[pairs.i] - radius[pairs.j]
+    return CollisionSetup(pairs=pairs, normals=normals, sep0=sep0)
+
+
+def collision_forces(setup: CollisionSetup, gamma: Array, n_bodies: int) -> Array:
+    """F = D gamma: scatter -gamma*n to body i, +gamma*n to body j.
+
+    ref: sum_collision_force (`StkNgpLCP.cpp:578-610`); atomics become
+    index-add scatters (deterministic on XLA).
+    """
+    g = jnp.where(setup.pairs.mask, gamma, 0.0)
+    gn = g[:, None] * setup.normals
+    f = jnp.zeros((n_bodies, 3), gn.dtype)
+    f = f.at[setup.pairs.i].add(-gn)
+    f = f.at[setup.pairs.j].add(gn)
+    return f
+
+
+def _sep_rate(setup: CollisionSetup, vel: Array) -> Array:
+    """sdot = D^T U = -n . (U_i - U_j).
+
+    ref: compute_rate_of_change_of_sep (`StkNgpLCP.cpp:635-668`).
+    """
+    dv = vel[setup.pairs.i] - vel[setup.pairs.j]
+    return -jnp.sum(setup.normals * dv, axis=-1)
+
+
+def resolve_collisions(
+    setup: CollisionSetup,
+    mobility_apply: Callable[[Array], Array],
+    n_bodies: int,
+    dt,
+    max_allowable_overlap: float = 1e-5,
+    max_iterations: int = 10_000,
+    gamma0: Optional[Array] = None,
+    axis_names=None,
+) -> tuple[Array, Array, SolveResult]:
+    """Solve for contact impulses gamma; returns (gamma, velocities, result).
+
+    `mobility_apply(F) -> U` is any matrix-free mobility (local drag, RPY
+    neighbors, dense RPY, periphery-corrected...). Defaults mirror the
+    reference driver: tol 1e-5 overlap, 10k iteration cap, alternating BB
+    steps, warm start from `gamma0` (`StkNgpLCP.cpp` main params, `:705-875`).
+    """
+    dt = jnp.asarray(dt, setup.sep0.dtype)
+
+    def apply_A(gamma):
+        f = collision_forces(setup, gamma, n_bodies)
+        u = mobility_apply(f)
+        return dt * _sep_rate(setup, u)
+
+    cfg = PGDConfig(
+        max_iters=max_iterations,
+        tol=max_allowable_overlap,
+        bb_rule="alternating",
+        residual="projected_gradient",
+        axis_names=axis_names,
+    )
+    res = solve_lcp(apply_A, setup.sep0, x0=gamma0, config=cfg, mask=setup.pairs.mask)
+    gamma = res.x
+    vel = mobility_apply(collision_forces(setup, gamma, n_bodies))
+    return gamma, vel, res

@@ -1,0 +1,195 @@
+"""BASELINE config #2: N spheres with LCP non-penetration constraints.
+
+The TPU re-design of the reference's lcp_spheres driver
+(`scrap/lcp_spheres/StkNgpLCP.cpp` main + time loop, SURVEY.md §3.1):
+per step — broad phase (cell list) -> pair constraints (signed sep +
+normals) -> matrix-free BBPGD with warm-started lagrange multipliers ->
+Euler update with the constraint velocities. Mobility is pluggable: dry
+local drag (the benchmark default) or neighbor-restricted RPY
+(HYDRO_NEAREST).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math as _math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.constraints import collision_setup_spheres, resolve_collisions
+from mundy_tpu.core.containers import pytree_dataclass
+from mundy_tpu.dynamics import brownian_velocity, euler_step
+from mundy_tpu.geom import periodic
+from mundy_tpu.mobility import local_drag_mobility, rpy_apply_neighbors
+from mundy_tpu.neighbor import (
+    build_cell_list,
+    build_pair_list,
+    make_cell_grid,
+    neighbor_matrix,
+)
+
+
+@dataclasses.dataclass
+class LCPSpheresConfig:
+    num_spheres: int = 10_000
+    box_size: float = 40.0
+    radius: float = 0.5
+    viscosity: float = 1.0
+    diffusion_coeff: float = 0.0
+    dt: float = 1e-3
+    num_steps: int = 100
+    # constraint generation margin: pairs within 2r + buffer become
+    # constraints (reference uses search boxes of the sphere AABBs)
+    constraint_buffer: float = 0.2
+    max_allowable_overlap: float = 1e-5  # StkNgpLCP main param
+    max_col_iterations: int = 10_000
+    hydro: str = "none"  # "none" (dry) | "rpy_neighbors"
+    pair_capacity_per_body: int = 12
+    max_neighbors: int = 32
+    cell_capacity: int = 16
+    chunk: int = 32768
+    seed: int = 1234
+    dtype: str = "float32"
+    log_every: int = 10
+
+    def __validate__(self):
+        assert self.hydro in ("none", "rpy_neighbors"), self.hydro
+        assert self.num_spheres > 0 and self.dt > 0
+
+
+@pytree_dataclass
+class LCPSpheresState:
+    pos: Array
+    gamma: Array  # (C,) warm-start lagrange multipliers
+    key: Array
+    step: Array
+    lcp_iters: Array  # () int32 — last solve iterations
+    lcp_residual: Array
+    overflow: Array
+
+
+class LCPSpheresSim:
+    def __init__(self, config: LCPSpheresConfig):
+        self.config = c = config
+        self.dtype = jnp.dtype(c.dtype)
+        box = np.array([c.box_size] * 3)
+        self.metric = periodic(box, dtype=self.dtype)
+        self.search_radius = c.radius + 0.5 * c.constraint_buffer
+        self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
+                                   (True,) * 3, self.dtype)
+        self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
+        self._step_jit = jax.jit(self._step)
+
+    def init(self, key: Optional[Array] = None) -> LCPSpheresState:
+        c = self.config
+        if key is None:
+            key = jax.random.PRNGKey(c.seed)
+        kpos, kstate = jax.random.split(key)
+        pos = jax.random.uniform(kpos, (c.num_spheres, 3), dtype=self.dtype,
+                                 maxval=c.box_size)
+        return LCPSpheresState(
+            pos=pos,
+            gamma=jnp.zeros((self.pair_capacity,), self.dtype),
+            key=kstate,
+            step=jnp.asarray(0, jnp.int32),
+            lcp_iters=jnp.asarray(0, jnp.int32),
+            lcp_residual=jnp.asarray(0.0, self.dtype),
+            overflow=jnp.asarray(False),
+        )
+
+    def _mobility(self, pos, nmat):
+        c = self.config
+        if c.hydro == "none":
+            return lambda f: local_drag_mobility(f, c.radius, c.viscosity)
+        return lambda f: rpy_apply_neighbors(
+            pos, f, nmat, c.radius, c.viscosity, metric=self.metric,
+            overlap_correction=True,
+        )
+
+    def _step(self, state: LCPSpheresState) -> LCPSpheresState:
+        c = self.config
+        pos = state.pos
+
+        # broad phase every step (constraint set must be current for the LCP;
+        # the reference rebuilds the BVH search each step too, StkNgpLCP main)
+        clist = build_cell_list(pos, self.grid, c.cell_capacity)
+        nmat = neighbor_matrix(
+            pos, clist, jnp.asarray(self.search_radius, self.dtype),
+            metric=self.metric, max_neighbors=c.max_neighbors,
+            chunk=min(c.chunk, max(256, c.num_spheres)),
+        )
+        pairs = build_pair_list(nmat, self.pair_capacity)
+        overflow = state.overflow | clist.overflow | nmat.overflow | pairs.overflow
+
+        setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
+                                        pairs, metric=self.metric)
+        mobility = self._mobility(pos, nmat)
+
+        # warm start from previous multipliers (same slot layout only if the
+        # pair list is stable; stale slots are safe — just a warm guess)
+        gamma, vel, res = resolve_collisions(
+            setup, mobility, c.num_spheres, c.dt,
+            max_allowable_overlap=c.max_allowable_overlap,
+            max_iterations=c.max_col_iterations,
+            gamma0=state.gamma,
+        )
+
+        if c.diffusion_coeff > 0:
+            vel = vel + brownian_velocity(state.key, state.step, c.num_spheres,
+                                          jnp.asarray(c.diffusion_coeff, self.dtype),
+                                          c.dt, dtype=self.dtype)
+
+        new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
+        return state.replace(
+            pos=new_pos, gamma=gamma, step=state.step + 1,
+            lcp_iters=res.num_iters, lcp_residual=res.residual,
+            overflow=overflow,
+        )
+
+    def step(self, state: LCPSpheresState) -> LCPSpheresState:
+        return self._step_jit(state)
+
+    def run_block(self, state: LCPSpheresState, n_steps: int) -> LCPSpheresState:
+        def body(s, _):
+            return self._step(s), None
+
+        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n_steps)[0])(state)
+
+    def run(self, state: Optional[LCPSpheresState] = None, log=print):
+        c = self.config
+        if state is None:
+            state = self.init()
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        done = 0
+        while done < c.num_steps:
+            block = min(c.log_every, c.num_steps - done)
+            state = self.run_block(state, block)
+            jax.block_until_ready(state)
+            done += block
+            tps = done / (time.perf_counter() - t0)
+            log(f"step {done}/{c.num_steps}  tps={tps:.2f}  "
+                f"lcp_iters={int(state.lcp_iters)}  "
+                f"residual={float(state.lcp_residual):.2e}  "
+                f"overflow={bool(state.overflow)}")
+        if bool(state.overflow):
+            raise RuntimeError("capacity overflow: raise pair/neighbor capacities")
+        return state
+
+    def max_overlap(self, state: LCPSpheresState) -> float:
+        c = self.config
+        clist = build_cell_list(state.pos, self.grid, c.cell_capacity)
+        nmat = neighbor_matrix(state.pos, clist,
+                               jnp.asarray(self.search_radius, self.dtype),
+                               metric=self.metric, max_neighbors=c.max_neighbors,
+                               chunk=min(c.chunk, max(256, c.num_spheres)))
+        sep = self.metric.sep(state.pos[:, None, :],
+                              state.pos[jnp.minimum(nmat.idx, c.num_spheres - 1)])
+        d = jnp.linalg.norm(sep, axis=-1) - 2 * c.radius
+        d = jnp.where(nmat.mask, d, jnp.inf)
+        return float(-jnp.min(d))

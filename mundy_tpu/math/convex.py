@@ -192,6 +192,10 @@ def solve_cqpp(
         # iteration (reference guards only b, StkNgpLCP.cpp:862-865).
         bad = jnp.logical_not(jnp.logical_and(jnp.isfinite(alpha_new), alpha_new > 0.0))
         alpha_new = jnp.where(bad, alpha, alpha_new)
+        # Dai-Fletcher safeguard interval: bounds the step if the operator is
+        # indefinite (e.g. neighbor-truncated RPY mobility), preventing the
+        # runaway gamma growth an unbounded BB step produces.
+        alpha_new = jnp.clip(alpha_new, jnp.asarray(1e-12, dtype), jnp.asarray(1e12, dtype))
 
         res = _residual(x_new, g_new, space, config, mask)
 

@@ -51,9 +51,12 @@ def _local_neighbor_rows(local_pos, local_ids, full_pos, clist, search_radius,
     cutoff = 2.0 * search_radius
     ok = (cand >= 0) & (d2 <= cutoff * cutoff) & (cand != local_ids[:, None])
 
-    order = jnp.argsort(~ok, axis=1, stable=True)[:, :max_neighbors]
-    row_ok = jnp.take_along_axis(ok, order, axis=1)
-    row_idx = jnp.take_along_axis(cand, order, axis=1)
+    ncand = 27 * cap
+    col = jnp.arange(ncand, dtype=jnp.int32)
+    vals = jnp.where(ok, ncand - col, 0)
+    top_vals, top_pos = jax.lax.top_k(vals, max_neighbors)
+    row_ok = top_vals > 0
+    row_idx = jnp.take_along_axis(cand, top_pos, axis=1)
     overflow = jnp.any(jnp.sum(ok, axis=1) > max_neighbors)
     n_full = full_pos.shape[0]
     return NeighborMatrix(

@@ -1,0 +1,193 @@
+"""RPY mobility + LCP collision resolution vs analytic/dense references."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mundy_tpu.constraints import (
+    collision_forces,
+    collision_setup_spheres,
+    resolve_collisions,
+)
+from mundy_tpu.mobility import (
+    local_drag_mobility,
+    rpy_apply_dense,
+    rpy_apply_neighbors,
+    rpy_self_mobility,
+)
+from mundy_tpu.neighbor import NeighborMatrix, PairList
+
+
+def rpy_matrix_np(pos, a, mu):
+    """Dense far-field RPY matrix (numpy reference, no overlap correction)."""
+    n = len(pos)
+    M = np.zeros((3 * n, 3 * n))
+    for i in range(n):
+        M[3 * i:3 * i + 3, 3 * i:3 * i + 3] = np.eye(3) / (6 * np.pi * mu * a)
+        for j in range(n):
+            if i == j:
+                continue
+            r = pos[i] - pos[j]
+            rn = np.linalg.norm(r)
+            rh = np.outer(r, r) / rn**2
+            blk = (np.eye(3) + rh) / rn + (2 * a**2 / (3 * rn**3)) * (np.eye(3) - 3 * rh)
+            M[3 * i:3 * i + 3, 3 * j:3 * j + 3] = blk / (8 * np.pi * mu)
+    return M
+
+
+def test_rpy_dense_matches_matrix(rng):
+    n = 20
+    a, mu = 0.5, 1.3
+    pos = rng.uniform(0, 10, (n, 3))
+    # enforce min separation > 2a so far-field formula is exact
+    f = rng.normal(size=(n, 3))
+    M = rpy_matrix_np(pos, a, mu)
+    expect = (M @ f.ravel()).reshape(n, 3)
+    got = rpy_apply_dense(jnp.asarray(pos), jnp.asarray(f), a, mu, chunk=8)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-10)
+
+
+def test_rpy_positive_definite_sampling(rng):
+    """Far-field RPY with self term must be SPD for well-separated spheres
+    (needed for BBPGD convergence)."""
+    n = 15
+    a, mu = 0.4, 1.0
+    # grid positions, spacing 3 > 2a
+    g = np.stack(np.meshgrid(*[np.arange(3) * 3.0] * 3, indexing="ij"), -1).reshape(-1, 3)[:n]
+    M = rpy_matrix_np(g, a, mu)
+    w = np.linalg.eigvalsh(M)
+    assert w.min() > 0
+
+
+def test_rpy_symmetry(rng):
+    """Pairwise: velocity at i from force at j mirrors j from i."""
+    a, mu = 0.5, 1.0
+    pos = jnp.asarray([[0.0, 0, 0], [3.0, 0, 0]])
+    f = jnp.asarray([[0.0, 1.0, 0], [0.0, 0, 0]])
+    u = rpy_apply_dense(pos, f, a, mu, include_self=False, chunk=2)
+    f2 = jnp.asarray([[0.0, 0, 0], [0.0, 1.0, 0]])
+    u2 = rpy_apply_dense(pos, f2, a, mu, include_self=False, chunk=2)
+    np.testing.assert_allclose(np.asarray(u[1]), np.asarray(u2[0]), atol=1e-14)
+
+
+def test_rpy_neighbors_matches_dense_for_full_graph(rng):
+    n = 12
+    a, mu = 0.3, 0.7
+    pos = jnp.asarray(rng.uniform(0, 8, (n, 3)))
+    f = jnp.asarray(rng.normal(size=(n, 3)))
+    # full neighbor matrix (everyone neighbors everyone)
+    idx = jnp.asarray([[j for j in range(n) if j != i] for i in range(n)], jnp.int32)
+    mask = jnp.ones((n, n - 1), bool)
+    nmat = NeighborMatrix(idx=idx, mask=mask, overflow=jnp.asarray(False))
+    dense = rpy_apply_dense(pos, f, a, mu, chunk=4)
+    nb = rpy_apply_neighbors(pos, f, nmat, a, mu)
+    np.testing.assert_allclose(np.asarray(nb), np.asarray(dense), rtol=1e-10)
+
+
+def test_rpy_overlap_correction_finite():
+    pos = jnp.asarray([[0.0, 0, 0], [0.1, 0, 0]])
+    f = jnp.asarray([[1.0, 0, 0], [0.0, 0, 0]])
+    u = rpy_apply_dense(pos, f, 0.5, 1.0, overlap_correction=True, chunk=2)
+    assert np.isfinite(np.asarray(u)).all()
+    # at r -> 0 the pair mobility approaches the self mobility
+    pos2 = jnp.asarray([[0.0, 0, 0], [1e-8, 0, 0]])
+    u2 = rpy_apply_dense(pos2, f, 0.5, 1.0, include_self=False, overlap_correction=True, chunk=2)
+    self_u = rpy_self_mobility(f[0], 0.5, 1.0)
+    np.testing.assert_allclose(np.asarray(u2[1]), np.asarray(self_u), rtol=1e-5)
+
+
+# ---------------------------------------------------------------- collision
+def make_pairs(i, j, capacity):
+    n = len(i)
+    pad = capacity - n
+    return PairList(
+        i=jnp.asarray(list(i) + [0] * pad, jnp.int32),
+        j=jnp.asarray(list(j) + [0] * pad, jnp.int32),
+        mask=jnp.asarray([True] * n + [False] * pad),
+        num_pairs=jnp.asarray(n),
+        overflow=jnp.asarray(False),
+    )
+
+
+def test_two_sphere_collision_analytic():
+    """Two overlapping spheres, local drag: gamma resolves overlap in one dt."""
+    pos = jnp.asarray([[0.0, 0, 0], [1.5, 0, 0]], jnp.float64)
+    radius = 1.0
+    mu = 1.0
+    dt = 0.1
+    pairs = make_pairs([0], [1], 4)
+    setup = collision_setup_spheres(pos, jnp.asarray(radius), pairs)
+    np.testing.assert_allclose(float(setup.sep0[0]), -0.5)
+
+    mob = lambda f: local_drag_mobility(f, radius, mu)
+    gamma, vel, res = resolve_collisions(setup, mob, 2, dt, max_allowable_overlap=1e-8)
+    assert bool(res.converged)
+    # analytic: sep_new = sep0 + dt * 2 * gamma/(6 pi mu a) = 0
+    m = 1.0 / (6 * math.pi * mu * radius)
+    gamma_exact = 0.5 / (dt * 2 * m)
+    np.testing.assert_allclose(float(gamma[0]), gamma_exact, rtol=1e-6)
+    # velocities push spheres apart along x
+    assert float(vel[0, 0]) < 0 < float(vel[1, 0])
+    # and the post-step separation is (near) zero
+    new_sep = float(setup.sep0[0] + dt * (-(vel[0, 0] - vel[1, 0]) * -1.0))
+    pos_new = pos + dt * vel
+    d = float(jnp.linalg.norm(pos_new[1] - pos_new[0])) - 2 * radius
+    assert abs(d) < 1e-6
+
+
+def test_separated_pair_no_force():
+    pos = jnp.asarray([[0.0, 0, 0], [3.0, 0, 0]], jnp.float64)
+    pairs = make_pairs([0], [1], 4)
+    setup = collision_setup_spheres(pos, jnp.asarray(1.0), pairs)
+    mob = lambda f: local_drag_mobility(f, 1.0, 1.0)
+    gamma, vel, res = resolve_collisions(setup, mob, 2, 0.1)
+    assert bool(res.converged)
+    assert int(res.num_iters) == 0
+    np.testing.assert_allclose(np.asarray(gamma), 0.0, atol=1e-14)
+
+
+def test_cluster_collision_resolves(rng):
+    """Dense random cluster: after the solve, linearized overlaps < tol."""
+    n = 40
+    pos = jnp.asarray(rng.uniform(0, 4.0, (n, 3)))
+    radius = 0.5
+    dt = 0.05
+    ii, jj = np.triu_indices(n, 1)
+    d = np.linalg.norm(np.asarray(pos)[ii] - np.asarray(pos)[jj], axis=1)
+    keep = d < 2.5 * radius
+    pairs = make_pairs(ii[keep], jj[keep], 2048)
+    setup = collision_setup_spheres(pos, jnp.asarray(radius), pairs)
+    mob = lambda f: local_drag_mobility(f, radius, 1.0)
+    gamma, vel, res = resolve_collisions(setup, mob, n, dt, max_allowable_overlap=1e-6)
+    assert bool(res.converged)
+    pos_new = pos + dt * vel
+    dd = np.linalg.norm(np.asarray(pos_new)[ii[keep]] - np.asarray(pos_new)[jj[keep]], axis=1)
+    overlap = 2 * radius - dd
+    assert overlap.max() < 1e-3  # linearization error only
+    assert float(jnp.min(gamma)) >= 0.0
+
+
+def test_collision_with_rpy_mobility(rng):
+    """Hydrodynamic coupling: solver still converges with RPY mobility."""
+    n = 10
+    pos = jnp.asarray(rng.uniform(0, 2.5, (n, 3)), jnp.float64)
+    radius = 0.5
+    ii, jj = np.triu_indices(n, 1)
+    pairs = make_pairs(ii, jj, 64)
+    setup = collision_setup_spheres(pos, jnp.asarray(radius), pairs)
+    mob = lambda f: rpy_apply_dense(pos, f, radius, 1.0, chunk=4,
+                                    overlap_correction=True)
+    gamma, vel, res = resolve_collisions(setup, mob, n, 0.05, max_allowable_overlap=1e-6)
+    assert bool(res.converged)
+    assert float(jnp.min(gamma)) >= 0.0
+
+
+def test_collision_forces_momentum_free():
+    pos = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0], [0.5, 0.8, 0]])
+    pairs = make_pairs([0, 0, 1], [1, 2, 2], 8)
+    setup = collision_setup_spheres(pos, jnp.asarray(0.6), pairs)
+    f = collision_forces(setup, jnp.asarray([1.0, 2.0, 3.0] + [0.0] * 5), 3)
+    np.testing.assert_allclose(np.asarray(f).sum(axis=0), np.zeros(3), atol=1e-12)

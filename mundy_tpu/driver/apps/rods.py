@@ -1,0 +1,253 @@
+"""BASELINE config #3: spherocylinder (rod) suspension — segment-segment
+narrow phase, Hertzian contact with torques, Brownian motion, rigid-body
+Euler/quaternion update.
+
+TPU re-design of the reference's rod pipeline: broad phase over rod AABBs
+(ComputeAABB for spherocylinders), SpherocylinderSegmentSpherocylinderSegment
+narrow-phase + Hertzian kernels (`scrap/parameter_interface/linkers/.../
+SpherocylinderSegmentSpherocylinderSegmentHertzianContact`), contact-point
+torque induction, and local-drag rigid mobility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math as _math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.core.containers import pytree_dataclass
+from mundy_tpu.dynamics import brownian_velocity, brownian_angular_velocity
+from mundy_tpu.dynamics.integrators import euler_step_rigid
+from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
+from mundy_tpu.geom import periodic
+from mundy_tpu.geom.distance import segment_segment_closest
+from mundy_tpu.math.quaternion import quat_rotate
+from mundy_tpu.neighbor import build_cell_list, make_cell_grid, neighbor_matrix
+
+
+@dataclasses.dataclass
+class RodsConfig:
+    num_rods: int = 10_000
+    box_size: float = 60.0
+    radius: float = 0.25
+    length: float = 2.0  # cylindrical length between cap centers
+    youngs_modulus: float = 1000.0
+    poissons_ratio: float = 0.3
+    viscosity: float = 1.0
+    diffusion_coeff: float = 0.0  # translational
+    rot_diffusion_coeff: float = 0.0
+    dt: float = 1e-4
+    num_steps: int = 1000
+    skin: float = 0.3
+    max_neighbors: int = 32
+    cell_capacity: int = 16
+    chunk: int = 16384
+    seed: int = 1234
+    dtype: str = "float32"
+    log_every: int = 100
+
+    def __validate__(self):
+        assert self.length >= 0 and self.radius > 0
+        assert self.box_size > 2 * (self.length + 2 * self.radius + self.skin)
+
+
+@pytree_dataclass
+class RodsState:
+    pos: Array  # (N, 3) centers
+    quat: Array  # (N, 4) orientations (body z = axis)
+    key: Array
+    step: Array
+    nmat: object  # NeighborMatrix
+    ref_pos: Array
+    rebuild_count: Array
+    overflow: Array
+
+
+class RodsSim:
+    def __init__(self, config: RodsConfig):
+        self.config = c = config
+        self.dtype = jnp.dtype(c.dtype)
+        box = np.array([c.box_size] * 3)
+        self.metric = periodic(box, dtype=self.dtype)
+        # bounding-sphere search radius (ComputeBoundingRadius analog)
+        self.search_radius = 0.5 * c.length + c.radius + 0.5 * c.skin
+        self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
+                                   (True,) * 3, self.dtype)
+        # isotropic local drag for a rod of half-length+cap envelope
+        a_eff = (0.75 * (0.5 * c.length + c.radius) * c.radius * c.radius) ** (1.0 / 3.0)
+        self.inv_drag_t = 1.0 / (6.0 * _math.pi * c.viscosity * a_eff)
+        self.inv_drag_r = 1.0 / (8.0 * _math.pi * c.viscosity * a_eff**3)
+
+    # ------------------------------------------------------------------
+    def _axes(self, quat: Array) -> Array:
+        zhat = jnp.zeros((3,), self.dtype).at[2].set(1.0)
+        return quat_rotate(quat, zhat)
+
+    def _build_nmat(self, pos: Array):
+        c = self.config
+        clist = build_cell_list(pos, self.grid, c.cell_capacity)
+        nmat = neighbor_matrix(
+            pos, clist, jnp.asarray(self.search_radius, self.dtype),
+            metric=self.metric, max_neighbors=c.max_neighbors,
+            chunk=min(c.chunk, max(256, c.num_rods)),
+        )
+        return nmat, clist.overflow | nmat.overflow
+
+    def _contact_forces_torques(self, pos: Array, quat: Array, nmat):
+        """Segment-segment Hertzian contact over the neighbor matrix.
+
+        Returns (forces (N,3), torques (N,3)). One-sided accumulation per
+        rod row; torque from the contact-point moment arm.
+        """
+        c = self.config
+        n = c.num_rods
+        axis = self._axes(quat)  # (N, 3)
+        half = 0.5 * c.length
+        idx = jnp.minimum(nmat.idx, n - 1)
+
+        # own segment endpoints (N, 3); neighbor endpoints gathered and
+        # shifted to the minimum image relative to our center
+        pj = pos[idx]
+        shift = self.metric.sep(pos[:, None, :], pj) - (pj - pos[:, None, :])
+        pj = pj + shift
+        aj = axis[idx]
+
+        a0 = (pos - half * axis)[:, None, :]
+        a1 = (pos + half * axis)[:, None, :]
+        b0 = pj - half * aj
+        b1 = pj + half * aj
+        _s, _t, c1, c2 = segment_segment_closest(
+            jnp.broadcast_to(a0, b0.shape), jnp.broadcast_to(a1, b0.shape), b0, b1
+        )
+        sepv = c2 - c1
+        r2 = jnp.maximum(jnp.sum(sepv * sepv, axis=-1), 1e-24)
+        rinv = jax.lax.rsqrt(r2)
+        d = r2 * rinv
+        signed = d - 2.0 * c.radius
+        e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
+                                 c.poissons_ratio, c.poissons_ratio)
+        mag = hertzian_pair_force(signed, jnp.asarray(0.5 * c.radius, self.dtype),
+                                  jnp.asarray(e_eff, self.dtype))
+        mag = jnp.where(nmat.mask, mag, 0.0)
+        fvec = -(mag * rinv)[..., None] * sepv  # force on this rod per pair
+        force = jnp.sum(fvec, axis=1)
+        # torque: contact point on OUR surface is c1 + r * nhat
+        contact = c1 + (c.radius * rinv)[..., None] * sepv
+        arm = contact - pos[:, None, :]
+        torque = jnp.sum(jnp.cross(arm, fvec), axis=1)
+        return force, torque
+
+    def _inner_step(self, state: RodsState) -> RodsState:
+        c = self.config
+        force, torque = self._contact_forces_torques(state.pos, state.quat, state.nmat)
+        vel = self.inv_drag_t * force
+        omega = self.inv_drag_r * torque
+        if c.diffusion_coeff > 0:
+            vel = vel + brownian_velocity(state.key, state.step, c.num_rods,
+                                          jnp.asarray(c.diffusion_coeff, self.dtype),
+                                          c.dt, dtype=self.dtype)
+        if c.rot_diffusion_coeff > 0:
+            omega = omega + brownian_angular_velocity(
+                state.key, state.step, c.num_rods,
+                jnp.asarray(c.rot_diffusion_coeff, self.dtype), c.dt, dtype=self.dtype)
+        pos, quat = euler_step_rigid(state.pos, state.quat, vel, omega,
+                                     jnp.asarray(c.dt, self.dtype), metric=self.metric)
+        return state.replace(pos=pos, quat=quat, step=state.step + 1)
+
+    def _rebuild(self, state: RodsState) -> RodsState:
+        nmat, ovf = self._build_nmat(state.pos)
+        return state.replace(nmat=nmat, ref_pos=state.pos,
+                             rebuild_count=state.rebuild_count + 1,
+                             overflow=state.overflow | ovf)
+
+    def _run_n(self, state: RodsState, n_steps: int) -> RodsState:
+        c = self.config
+        target = jnp.asarray(n_steps, jnp.int32)
+        skin_sq = jnp.asarray((0.5 * c.skin) ** 2, self.dtype)
+
+        def moved(s):
+            disp = self.metric.sep(s.ref_pos, s.pos)
+            return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
+
+        def inner_cond(carry):
+            s, done = carry
+            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+
+        def inner_body(carry):
+            s, done = carry
+            return self._inner_step(s), done + 1
+
+        def outer_body(carry):
+            s, done = carry
+            s = self._rebuild(s)
+            s, done = inner_body((s, done))
+            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+
+        state, _ = jax.lax.while_loop(
+            lambda carry: carry[1] < target, outer_body,
+            (state, jnp.asarray(0, jnp.int32)),
+        )
+        return state
+
+    def run_block(self, state: RodsState, n_steps: int) -> RodsState:
+        return jax.jit(self._run_n, static_argnums=1)(state, n_steps)
+
+    def init(self, key: Optional[Array] = None) -> RodsState:
+        c = self.config
+        if key is None:
+            key = jax.random.PRNGKey(c.seed)
+        kp, kq, ks = jax.random.split(key, 3)
+        pos = jax.random.uniform(kp, (c.num_rods, 3), dtype=self.dtype,
+                                 maxval=c.box_size)
+        from mundy_tpu.geom import random_unit_quaternions
+
+        quat = random_unit_quaternions(kq, c.num_rods, dtype=self.dtype)
+        nmat, ovf = self._build_nmat(pos)
+        return RodsState(pos=pos, quat=quat, key=ks,
+                         step=jnp.asarray(0, jnp.int32), nmat=nmat, ref_pos=pos,
+                         rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf)
+
+    def run(self, state: Optional[RodsState] = None, log=print):
+        c = self.config
+        if state is None:
+            state = self.init()
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        done = 0
+        while done < c.num_steps:
+            block = min(c.log_every, c.num_steps - done)
+            state = self.run_block(state, block)
+            jax.block_until_ready(state)
+            done += block
+            tps = done / (time.perf_counter() - t0)
+            log(f"step {done}/{c.num_steps}  tps={tps:.2f}  "
+                f"rebuilds={int(state.rebuild_count)}  overflow={bool(state.overflow)}")
+        if bool(state.overflow):
+            raise RuntimeError("capacity overflow")
+        return state
+
+    def max_overlap(self, state: RodsState) -> float:
+        _f, _t = None, None
+        c = self.config
+        nmat, _ = self._build_nmat(state.pos)
+        axis = self._axes(state.quat)
+        half = 0.5 * c.length
+        idx = jnp.minimum(nmat.idx, c.num_rods - 1)
+        pj = state.pos[idx]
+        shift = self.metric.sep(state.pos[:, None, :], pj) - (pj - state.pos[:, None, :])
+        pj = pj + shift
+        aj = axis[idx]
+        a0 = (state.pos - half * axis)[:, None, :]
+        a1 = (state.pos + half * axis)[:, None, :]
+        _s, _t2, c1, c2 = segment_segment_closest(
+            jnp.broadcast_to(a0, pj.shape), jnp.broadcast_to(a1, pj.shape),
+            pj - half * aj, pj + half * aj)
+        d = jnp.linalg.norm(c2 - c1, axis=-1) - 2 * c.radius
+        d = jnp.where(nmat.mask, d, jnp.inf)
+        return float(-jnp.min(d))

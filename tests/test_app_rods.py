@@ -1,0 +1,75 @@
+"""Rod suspension app (BASELINE config #3) on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mundy_tpu.driver.apps.rods import RodsConfig, RodsSim
+from mundy_tpu.math.quaternion import quat_rotate
+
+
+def cfg(**kw):
+    base = dict(num_rods=150, box_size=14.0, radius=0.25, length=1.5,
+                youngs_modulus=500.0, dt=2e-4, num_steps=50, skin=0.3,
+                dtype="float64", chunk=256, log_every=1000)
+    base.update(kw)
+    return RodsConfig(**base)
+
+
+def test_rod_overlaps_relax():
+    sim = RodsSim(cfg())
+    state = sim.init()
+    o0 = sim.max_overlap(state)
+    assert o0 > 0.05
+    state = sim.run_block(state, 300)
+    assert not bool(state.overflow)
+    assert sim.max_overlap(state) < 0.6 * o0
+    # quaternions stay unit
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(state.quat), axis=1), 1.0,
+                               atol=1e-9)
+
+
+def test_contact_torque_two_rods():
+    """Perpendicular crossed rods touching off-center: contact induces
+    torque that rotates them apart."""
+    sim = RodsSim(cfg(num_rods=2, box_size=14.0))
+    state = sim.init()
+    # rod 0 along x at origin, rod 1 along y, offset so contact is off-center
+    from mundy_tpu.math.quaternion import quat_from_axis_angle
+
+    qx = quat_from_axis_angle(jnp.asarray([0.0, 1, 0], jnp.float64), jnp.pi / 2)
+    qy = quat_from_axis_angle(jnp.asarray([1.0, 0, 0], jnp.float64), jnp.pi / 2)
+    pos = jnp.asarray([[7.0, 7.0, 7.0], [7.5, 7.0, 7.4]], jnp.float64)
+    state = state.replace(pos=pos, quat=jnp.stack([qx, qy]))
+    state = sim._rebuild(state)
+    f, tau = sim._contact_forces_torques(state.pos, state.quat, state.nmat)
+    f, tau = np.asarray(f), np.asarray(tau)
+    # rods overlap (z-gap 0.4 < 2r=0.5): repulsive force along z
+    assert f[0, 2] < 0 < f[1, 2]
+    np.testing.assert_allclose(f.sum(axis=0), 0.0, atol=1e-10)
+    # off-center contact -> nonzero torque on rod 0 (contact at x=+0.5)
+    assert abs(tau[0, 1]) > 1e-8
+
+
+def test_rotational_diffusion():
+    """Free rods: axis decorrelation <u(t).u(0)> = exp(-2 Dr t)."""
+    Dr = 0.5
+    sim = RodsSim(cfg(num_rods=2000, box_size=200.0, rot_diffusion_coeff=Dr,
+                      dt=1e-3, chunk=2048))
+    state = sim.init()
+    zhat = jnp.asarray([0.0, 0, 1.0], jnp.float64)
+    u0 = np.asarray(quat_rotate(state.quat, zhat))
+    n_steps = 200
+    state = sim.run_block(state, n_steps)
+    u1 = np.asarray(quat_rotate(state.quat, zhat))
+    corr = (u0 * u1).sum(axis=1).mean()
+    t = n_steps * 1e-3
+    expect = np.exp(-2 * Dr * t)
+    assert np.isclose(corr, expect, atol=0.03)
+
+
+def test_deterministic():
+    sim = RodsSim(cfg())
+    s1 = sim.run_block(sim.init(), 20)
+    s2 = sim.run_block(sim.init(), 20)
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    np.testing.assert_array_equal(np.asarray(s1.quat), np.asarray(s2.quat))

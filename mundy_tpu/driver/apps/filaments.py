@@ -1,0 +1,286 @@
+"""BASELINE config #4: flexible filaments / flagella — chained
+spherocylinder segments with Kirchhoff bending/twist mechanics + collision.
+
+TPU re-design of the reference's sperm/filament pipeline
+(`scrap/Sperm.cpp`, CollidingFrictionalSperm performance tests): per step
+    1. rod internal forces (centerline-twist energy gradients, mech.rod)
+    2. segment-segment Hertzian contact across filaments (adjacent
+       same-filament segments excluded, like ExcludeConnectedEntities)
+    3. optional active rest-curvature wave (the swimming drive,
+       Sperm.cpp rest-curvature modulation)
+    4. overdamped node update + edge-frame transport.
+
+State is (F, M, 3) node positions — all filaments step in lockstep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math as _math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.core.containers import pytree_dataclass
+from mundy_tpu.dynamics import brownian_velocity
+from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
+from mundy_tpu.geom import periodic
+from mundy_tpu.geom.distance import segment_segment_closest
+from mundy_tpu.mech import RodState, init_rod_edges, rod_internal_forces, update_rod_edges
+from mundy_tpu.neighbor import build_cell_list, make_cell_grid, neighbor_matrix
+
+
+@dataclasses.dataclass
+class FilamentsConfig:
+    num_filaments: int = 64
+    nodes_per_filament: int = 16
+    segment_length: float = 1.0
+    radius: float = 0.25
+    bend_modulus: float = 5.0
+    stretch_stiffness: float = 200.0
+    youngs_modulus: float = 500.0
+    poissons_ratio: float = 0.3
+    viscosity: float = 1.0
+    # resistive-force-theory drag anisotropy: gamma_perp / gamma_par. 1.0 =
+    # isotropic (no self-propulsion possible); slender-body value ~2.
+    drag_anisotropy: float = 2.0
+    diffusion_coeff: float = 0.0
+    # active curvature wave (sperm swimming): kappa0(s, t) =
+    # amplitude * sin(wave_k * s - wave_omega * t) about the body-1 axis
+    active_amplitude: float = 0.0
+    wave_k: float = 1.0
+    wave_omega: float = 1.0
+    box_size: float = 40.0
+    dt: float = 1e-4
+    num_steps: int = 100
+    skin: float = 0.3
+    max_neighbors: int = 24
+    cell_capacity: int = 16
+    chunk: int = 8192
+    seed: int = 1234
+    dtype: str = "float64"
+    log_every: int = 100
+
+    def __validate__(self):
+        assert self.nodes_per_filament >= 3
+
+
+@pytree_dataclass
+class FilamentsState:
+    pos: Array  # (F, M, 3)
+    rod: RodState  # edge frames per filament
+    key: Array
+    step: Array
+    nmat: object
+    ref_pos: Array  # (S, 3) segment midpoints at rebuild
+    rebuild_count: Array
+    overflow: Array
+
+
+class FilamentsSim:
+    def __init__(self, config: FilamentsConfig):
+        self.config = c = config
+        self.dtype = jnp.dtype(c.dtype)
+        self.F = c.num_filaments
+        self.M = c.nodes_per_filament
+        self.E = self.M - 1  # segments per filament
+        self.S = self.F * self.E  # total segments
+        box = np.array([c.box_size] * 3)
+        self.metric = periodic(box, dtype=self.dtype)
+        self.search_radius = 0.5 * c.segment_length + c.radius + 0.5 * c.skin
+        self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
+                                   (True,) * 3, self.dtype)
+        self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
+        # adjacency exclusion table: same-filament neighbors k-1, k+1
+        seg_ids = np.arange(self.S)
+        k = seg_ids % self.E
+        left = np.where(k > 0, seg_ids - 1, -1)
+        right = np.where(k < self.E - 1, seg_ids + 1, -1)
+        self.exclude = jnp.asarray(np.stack([left, right], 1), jnp.int32)
+
+    # ------------------------------------------------------------------
+    def _segments(self, pos: Array):
+        """(S,3) starts, ends, midpoints from (F, M, 3) nodes."""
+        a = pos[:, :-1, :].reshape(self.S, 3)
+        b = pos[:, 1:, :].reshape(self.S, 3)
+        return a, b, 0.5 * (a + b)
+
+    def _build_nmat(self, pos: Array):
+        c = self.config
+        _a, _b, mid = self._segments(pos)
+        clist = build_cell_list(mid, self.grid, c.cell_capacity)
+        nmat = neighbor_matrix(
+            mid, clist, jnp.asarray(self.search_radius, self.dtype),
+            metric=self.metric, max_neighbors=c.max_neighbors,
+            chunk=min(c.chunk, max(256, self.S)), exclude=self.exclude,
+        )
+        return nmat, clist.overflow | nmat.overflow
+
+    def _contact_node_forces(self, pos: Array, nmat) -> Array:
+        """Hertzian segment contact -> node forces (F, M, 3)."""
+        c = self.config
+        a, b, mid = self._segments(pos)
+        idx = jnp.minimum(nmat.idx, self.S - 1)
+        mid_j = mid[idx]
+        shift = self.metric.sep(mid[:, None, :], mid_j) - (mid_j - mid[:, None, :])
+        a_j = a[idx] + shift
+        b_j = b[idx] + shift
+        s, _t, c1, c2 = segment_segment_closest(
+            jnp.broadcast_to(a[:, None, :], a_j.shape),
+            jnp.broadcast_to(b[:, None, :], a_j.shape), a_j, b_j)
+        sepv = c2 - c1
+        r2 = jnp.maximum(jnp.sum(sepv * sepv, axis=-1), 1e-24)
+        rinv = jax.lax.rsqrt(r2)
+        d = r2 * rinv
+        signed = d - 2.0 * c.radius
+        e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
+                                 c.poissons_ratio, c.poissons_ratio)
+        mag = hertzian_pair_force(signed, jnp.asarray(0.5 * c.radius, self.dtype),
+                                  jnp.asarray(e_eff, self.dtype))
+        mag = jnp.where(nmat.mask, mag, 0.0)
+        fvec = -(mag * rinv)[..., None] * sepv  # (S, K, 3) force on our segment
+        # distribute to segment nodes by the arc parameter of the contact
+        w_end = s  # contact at a + s (b - a)
+        f_start = jnp.sum((1.0 - w_end)[..., None] * fvec, axis=1)
+        f_end = jnp.sum(w_end[..., None] * fvec, axis=1)
+        node_f = jnp.zeros((self.F, self.M, 3), self.dtype)
+        node_f = node_f.at[:, :-1, :].add(f_start.reshape(self.F, self.E, 3))
+        node_f = node_f.at[:, 1:, :].add(f_end.reshape(self.F, self.E, 3))
+        return node_f
+
+    def _rest_curvature(self, step: Array) -> Array:
+        c = self.config
+        if c.active_amplitude == 0.0:
+            return jnp.zeros((self.F, self.E - 1, 3), self.dtype)
+        s_arc = jnp.arange(1, self.E, dtype=self.dtype) * c.segment_length
+        t = step.astype(self.dtype) * c.dt
+        wave = c.active_amplitude * jnp.sin(c.wave_k * s_arc - c.wave_omega * t)
+        k0 = jnp.zeros((self.F, self.E - 1, 3), self.dtype)
+        return k0.at[..., 0].set(wave[None, :])
+
+    def _inner_step(self, state: FilamentsState) -> FilamentsState:
+        c = self.config
+        pos = state.pos
+        f_rod, tau = rod_internal_forces(
+            state.rod, pos, self._rest_curvature(state.step),
+            c.bend_modulus, c.stretch_stiffness, c.segment_length,
+        )
+        f = f_rod + self._contact_node_forces(pos, state.nmat)
+        # resistive-force-theory mobility: v = F_par/gamma_par +
+        # F_perp/gamma_perp with the node tangent from adjacent edges.
+        # Anisotropy is what converts a curvature wave into net propulsion.
+        edge_t = pos[:, 1:, :] - pos[:, :-1, :]
+        edge_t = edge_t / jnp.maximum(
+            jnp.linalg.norm(edge_t, axis=-1, keepdims=True), 1e-12)
+        node_t = jnp.concatenate(
+            [edge_t[:, :1, :],
+             0.5 * (edge_t[:, :-1, :] + edge_t[:, 1:, :]),
+             edge_t[:, -1:, :]], axis=1)
+        node_t = node_t / jnp.maximum(
+            jnp.linalg.norm(node_t, axis=-1, keepdims=True), 1e-12)
+        f_par = jnp.sum(f * node_t, axis=-1, keepdims=True) * node_t
+        f_perp = f - f_par
+        vel = self.inv_drag * (f_par + f_perp / c.drag_anisotropy)
+        if c.diffusion_coeff > 0:
+            bv = brownian_velocity(state.key, state.step, self.F * self.M,
+                                   jnp.asarray(c.diffusion_coeff, self.dtype),
+                                   c.dt, dtype=self.dtype)
+            vel = vel + bv.reshape(self.F, self.M, 3)
+        new_pos = pos + jnp.asarray(c.dt, self.dtype) * vel
+        rod = update_rod_edges(state.rod, new_pos,
+                               twist_rate=self.inv_drag * tau, dt=c.dt)
+        return state.replace(pos=new_pos, rod=rod, step=state.step + 1)
+
+    def _rebuild(self, state: FilamentsState) -> FilamentsState:
+        nmat, ovf = self._build_nmat(state.pos)
+        _a, _b, mid = self._segments(state.pos)
+        return state.replace(nmat=nmat, ref_pos=mid,
+                             rebuild_count=state.rebuild_count + 1,
+                             overflow=state.overflow | ovf)
+
+    def _run_n(self, state: FilamentsState, n_steps: int) -> FilamentsState:
+        c = self.config
+        target = jnp.asarray(n_steps, jnp.int32)
+        skin_sq = jnp.asarray((0.5 * c.skin) ** 2, self.dtype)
+
+        def moved(s):
+            _a, _b, mid = self._segments(s.pos)
+            disp = self.metric.sep(s.ref_pos, mid)
+            return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
+
+        def inner_cond(carry):
+            s, done = carry
+            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+
+        def inner_body(carry):
+            s, done = carry
+            return self._inner_step(s), done + 1
+
+        def outer_body(carry):
+            s, done = carry
+            s = self._rebuild(s)
+            s, done = inner_body((s, done))
+            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+
+        state, _ = jax.lax.while_loop(
+            lambda carry: carry[1] < target, outer_body,
+            (state, jnp.asarray(0, jnp.int32)),
+        )
+        return state
+
+    def run_block(self, state: FilamentsState, n_steps: int) -> FilamentsState:
+        return jax.jit(self._run_n, static_argnums=1)(state, n_steps)
+
+    # ------------------------------------------------------------------
+    def init(self, key: Optional[Array] = None) -> FilamentsState:
+        """Straight filaments at random positions/orientations (clipped into
+        the box), like the reference's chain declaration."""
+        c = self.config
+        if key is None:
+            key = jax.random.PRNGKey(c.seed)
+        kp, kd, ks = jax.random.split(key, 3)
+        L = self.E * c.segment_length
+        margin = L + 2 * c.radius
+        start = jax.random.uniform(kp, (self.F, 3), dtype=self.dtype,
+                                   minval=0.0, maxval=c.box_size)
+        d = jax.random.normal(kd, (self.F, 3), dtype=self.dtype)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        arc = jnp.arange(self.M, dtype=self.dtype) * c.segment_length
+        pos = start[:, None, :] + arc[None, :, None] * d[:, None, :]
+        pos = self.metric.wrap(pos.reshape(-1, 3)).reshape(self.F, self.M, 3)
+        # NOTE: node coords are wrapped; rod edge vectors use min-image via
+        # unwrapped local geometry — keep filaments shorter than box/2.
+        assert margin < c.box_size / 2, "filament longer than half the box"
+        # unwrap each filament relative to its first node for rod mechanics
+        rel = self.metric.sep(pos[:, :1, :], pos)
+        pos = pos[:, :1, :] + rel
+        rod = init_rod_edges(pos)
+        nmat, ovf = self._build_nmat(pos)
+        _a, _b, mid = self._segments(pos)
+        return FilamentsState(pos=pos, rod=rod, key=ks,
+                              step=jnp.asarray(0, jnp.int32), nmat=nmat,
+                              ref_pos=mid, rebuild_count=jnp.asarray(1, jnp.int32),
+                              overflow=ovf)
+
+    def run(self, state: Optional[FilamentsState] = None, log=print):
+        c = self.config
+        if state is None:
+            state = self.init()
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        done = 0
+        while done < c.num_steps:
+            block = min(c.log_every, c.num_steps - done)
+            state = self.run_block(state, block)
+            jax.block_until_ready(state)
+            done += block
+            tps = done / (time.perf_counter() - t0)
+            log(f"step {done}/{c.num_steps}  tps={tps:.2f}  "
+                f"rebuilds={int(state.rebuild_count)}  overflow={bool(state.overflow)}")
+        if bool(state.overflow):
+            raise RuntimeError("capacity overflow")
+        return state

@@ -1,0 +1,313 @@
+"""BASELINE config #5 precursor: chromatin-style bead-chain simulation —
+the HP1 pipeline (reference `scrap/hp1_mock_reworks/
+HP1_mock_rework_agents_text_mesh_neigh_linker.cpp`, SURVEY.md §3.2).
+
+Per step (mirroring the reference time loop `:1377-1524`):
+    1. neighbor maintenance (cell list + skin trigger)
+    2. KMC crosslinker bind/unbind (`:1449-1456` -> kmc module)
+    3. forces: FENE-WCA backbone springs, nonbonded Hertzian contact
+       (bonded pairs excluded), crosslinker Hookean springs, spherical
+       periphery wall (the level-set collision `:604-760`)
+    4. velocities: Brownian (`:761`) + local drag or neighbor-RPY
+       hydrodynamics (`:1487-1493`), optional BIE periphery no-slip
+       correction
+    5. node-Euler update (`:1523`)
+
+Chains are laid out on a Hilbert curve at init (reference
+create_hilbert_positions_and_directors usage for chromosome fibers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math as _math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.core.containers import pytree_dataclass
+from mundy_tpu.dynamics import brownian_velocity
+from mundy_tpu.forces import fenewca_spring_forces, hookean_spring_forces
+from mundy_tpu.forces.contact import hertzian_contact_forces
+from mundy_tpu.geom import free_space
+from mundy_tpu.kmc import BINDING_STATE, binding_rate_gaussian, crosslinker_kmc_step
+from mundy_tpu.math.spacefill import hilbert_positions_and_directors
+from mundy_tpu.mobility import local_drag_mobility, rpy_apply_neighbors
+from mundy_tpu.neighbor import build_cell_list, make_cell_grid, neighbor_matrix
+
+
+@dataclasses.dataclass
+class ChromatinConfig:
+    num_chains: int = 4
+    beads_per_chain: int = 512
+    bead_radius: float = 0.5
+    # backbone FENE-WCA (Kremer-Grest), ref FENEWCASprings
+    backbone_k: float = 30.0
+    backbone_rmax: float = 1.5  # in units of 2*bead_radius at default
+    wca_epsilon: float = 1.0
+    # nonbonded contact
+    youngs_modulus: float = 1000.0
+    poissons_ratio: float = 0.3
+    # crosslinkers (HP1 dimers): left head bound to its home bead, right head
+    # binds/unbinds nearby beads (ref `:177-360`)
+    num_crosslinkers: int = 256
+    crosslinker_k: float = 10.0
+    crosslinker_rest_length: float = 1.5
+    binding_rate: float = 10.0  # A prefactor
+    unbinding_rate: float = 1.0  # koff
+    kt: float = 1.0
+    # confinement: spherical periphery of this radius (0 disables)
+    periphery_radius: float = 0.0
+    periphery_stiffness: float = 200.0
+    viscosity: float = 1.0
+    diffusion_coeff: float = 0.1
+    hydro: str = "none"  # "none" | "rpy_neighbors"
+    dt: float = 1e-4
+    num_steps: int = 100
+    skin: float = 0.4
+    max_neighbors: int = 32
+    cell_capacity: int = 16
+    chunk: int = 16384
+    seed: int = 1234
+    dtype: str = "float32"
+    log_every: int = 100
+
+    def __validate__(self):
+        assert self.hydro in ("none", "rpy_neighbors")
+        assert self.num_crosslinkers >= 0
+
+
+@pytree_dataclass
+class ChromatinState:
+    pos: Array  # (N, 3) beads (N = chains * beads_per_chain)
+    xl_home: Array  # (X,) int32 left-head bead of each crosslinker
+    xl_state: Array  # (X,) int32 BINDING_STATE
+    xl_bound_to: Array  # (X,) int32 right-head bead (-1 unbound)
+    key: Array
+    step: Array
+    nmat: object
+    ref_pos: Array
+    rebuild_count: Array
+    overflow: Array
+
+
+class ChromatinSim:
+    def __init__(self, config: ChromatinConfig):
+        self.config = c = config
+        self.dtype = jnp.dtype(c.dtype)
+        self.N = c.num_chains * c.beads_per_chain
+        self.X = c.num_crosslinkers
+        # free-space domain sized to hold the chains (confinement optional)
+        extent = self._domain_extent()
+        self.domain = extent
+        self.metric = free_space(self.dtype)
+        self.search_radius = c.bead_radius + 0.5 * c.skin
+        self.grid = make_cell_grid(-extent * np.ones(3), extent * np.ones(3),
+                                   2 * self.search_radius, (False,) * 3, self.dtype)
+        self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.bead_radius)
+
+        # backbone connectivity (i, i+1 within each chain)
+        bead = np.arange(self.N)
+        chain = bead // c.beads_per_chain
+        left = bead[:-1]
+        ok = chain[:-1] == chain[1:]
+        self.bond_i = jnp.asarray(left[ok], jnp.int32)
+        self.bond_j = jnp.asarray(left[ok] + 1, jnp.int32)
+        # bonded-exclusion table for contact: previous and next bead
+        prev = np.where((bead % c.beads_per_chain) > 0, bead - 1, -1)
+        nxt = np.where((bead % c.beads_per_chain) < c.beads_per_chain - 1, bead + 1, -1)
+        self.exclude = jnp.asarray(np.stack([prev, nxt], 1), jnp.int32)
+
+    def _domain_extent(self) -> float:
+        c = self.config
+        if c.periphery_radius > 0:
+            return c.periphery_radius + 2 * c.bead_radius
+        # Hilbert lattice footprint
+        s = 2
+        while s**3 < c.beads_per_chain:
+            s *= 2
+        return max(2.0 * s * c.bead_radius * 2, 16 * c.bead_radius) * max(
+            1, int(np.ceil(c.num_chains ** (1 / 3)))
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, key: Optional[Array] = None) -> ChromatinState:
+        c = self.config
+        if key is None:
+            key = jax.random.PRNGKey(c.seed)
+        kh, ks = jax.random.split(key)
+        spacing = 2.0 * c.bead_radius  # touching beads along the curve
+        chains = []
+        rng = np.random.default_rng(c.seed)
+        for ci in range(c.num_chains):
+            pts, _ = hilbert_positions_and_directors(c.beads_per_chain,
+                                                     side_length=spacing)
+            pts = pts[: c.beads_per_chain]
+            offset = (rng.uniform(-0.3, 0.3, 3) * self.domain).clip(
+                -0.5 * self.domain, 0.5 * self.domain
+            )
+            center = pts.mean(axis=0)
+            chains.append(pts - center + offset)
+        pos = jnp.asarray(np.concatenate(chains), self.dtype)
+        if c.periphery_radius > 0:
+            # pull everything inside the periphery
+            r = jnp.linalg.norm(pos, axis=1, keepdims=True)
+            max_r = c.periphery_radius - 2 * c.bead_radius
+            scale = jnp.minimum(1.0, max_r / jnp.maximum(jnp.max(r), 1e-6))
+            pos = pos * scale
+
+        home = jnp.asarray(
+            rng.integers(0, self.N, size=max(self.X, 1))[: self.X], jnp.int32
+        )
+        nmat, ovf = self._build_nmat(pos)
+        return ChromatinState(
+            pos=pos, xl_home=home,
+            xl_state=jnp.full((self.X,), BINDING_STATE.LEFT_BOUND, jnp.int32),
+            xl_bound_to=jnp.full((self.X,), -1, jnp.int32),
+            key=ks, step=jnp.asarray(0, jnp.int32), nmat=nmat, ref_pos=pos,
+            rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf,
+        )
+
+    def _build_nmat(self, pos: Array):
+        c = self.config
+        clist = build_cell_list(pos, self.grid, c.cell_capacity)
+        nmat = neighbor_matrix(
+            pos, clist, jnp.asarray(self.search_radius, self.dtype),
+            metric=None, max_neighbors=c.max_neighbors,
+            chunk=min(c.chunk, max(256, self.N)), exclude=self.exclude,
+        )
+        return nmat, clist.overflow | nmat.overflow
+
+    # ------------------------------------------------------------------
+    def _kmc(self, state: ChromatinState) -> ChromatinState:
+        """Crosslinker bind/unbind sweep (HP1 `:1449-1456`)."""
+        c = self.config
+        if self.X == 0:
+            return state
+        pos = state.pos
+        home_pos = pos[state.xl_home]  # (X, 3)
+        cand_idx = jnp.minimum(state.nmat.idx[state.xl_home], self.N - 1)  # (X, K)
+        cand_mask = state.nmat.mask[state.xl_home]
+        dr = jnp.linalg.norm(pos[cand_idx] - home_pos[:, None, :], axis=-1)
+        rates = binding_rate_gaussian(dr, c.crosslinker_k,
+                                      c.crosslinker_rest_length, c.kt,
+                                      c.binding_rate)
+        out = crosslinker_kmc_step(
+            state.key, state.step, state.xl_state, state.xl_bound_to,
+            cand_idx, rates, cand_mask,
+            koff=jnp.asarray(c.unbinding_rate, self.dtype), dt=c.dt,
+        )
+        return state.replace(xl_state=out.state, xl_bound_to=out.bound_to)
+
+    def _forces(self, state: ChromatinState) -> Array:
+        c = self.config
+        pos = state.pos
+        sigma = 2.0 * c.bead_radius
+        f = fenewca_spring_forces(
+            pos, self.bond_i, self.bond_j,
+            jnp.asarray(c.backbone_k, self.dtype),
+            jnp.asarray(c.backbone_rmax * sigma, self.dtype),
+            jnp.asarray(sigma, self.dtype),
+            jnp.asarray(c.wca_epsilon, self.dtype),
+        )
+        f = f + hertzian_contact_forces(
+            pos, jnp.asarray(c.bead_radius, self.dtype),
+            jnp.asarray(c.youngs_modulus, self.dtype),
+            jnp.asarray(c.poissons_ratio, self.dtype), state.nmat,
+        )
+        if self.X > 0:
+            doubly = state.xl_state == BINDING_STATE.DOUBLY_BOUND
+            f = f + hookean_spring_forces(
+                pos, state.xl_home, jnp.maximum(state.xl_bound_to, 0),
+                jnp.asarray(c.crosslinker_k, self.dtype),
+                jnp.asarray(c.crosslinker_rest_length, self.dtype),
+                mask=doubly,
+            )
+        if c.periphery_radius > 0:
+            # spherical wall: Hertzian-like push-back when beads poke out
+            # (level-set periphery collision, HP1 `:604-760`)
+            r = jnp.linalg.norm(pos, axis=1)
+            over = jnp.maximum(r + c.bead_radius - c.periphery_radius, 0.0)
+            mag = c.periphery_stiffness * over * jnp.sqrt(over)
+            nhat = pos / jnp.maximum(r, 1e-12)[:, None]
+            f = f - mag[:, None] * nhat
+        return f
+
+    def _inner_step(self, state: ChromatinState) -> ChromatinState:
+        c = self.config
+        state = self._kmc(state)
+        f = self._forces(state)
+        if c.hydro == "none":
+            vel = local_drag_mobility(f, c.bead_radius, c.viscosity)
+        else:
+            vel = rpy_apply_neighbors(state.pos, f, state.nmat, c.bead_radius,
+                                      c.viscosity, overlap_correction=True)
+        if c.diffusion_coeff > 0:
+            vel = vel + brownian_velocity(state.key, state.step, self.N,
+                                          jnp.asarray(c.diffusion_coeff, self.dtype),
+                                          c.dt, dtype=self.dtype)
+        return state.replace(pos=state.pos + jnp.asarray(c.dt, self.dtype) * vel,
+                             step=state.step + 1)
+
+    def _rebuild(self, state: ChromatinState) -> ChromatinState:
+        nmat, ovf = self._build_nmat(state.pos)
+        return state.replace(nmat=nmat, ref_pos=state.pos,
+                             rebuild_count=state.rebuild_count + 1,
+                             overflow=state.overflow | ovf)
+
+    def _run_n(self, state: ChromatinState, n_steps: int) -> ChromatinState:
+        c = self.config
+        target = jnp.asarray(n_steps, jnp.int32)
+        skin_sq = jnp.asarray((0.5 * c.skin) ** 2, self.dtype)
+
+        def moved(s):
+            disp = s.pos - s.ref_pos
+            return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
+
+        def inner_cond(carry):
+            s, done = carry
+            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+
+        def inner_body(carry):
+            s, done = carry
+            return self._inner_step(s), done + 1
+
+        def outer_body(carry):
+            s, done = carry
+            s = self._rebuild(s)
+            s, done = inner_body((s, done))
+            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+
+        state, _ = jax.lax.while_loop(
+            lambda carry: carry[1] < target, outer_body,
+            (state, jnp.asarray(0, jnp.int32)),
+        )
+        return state
+
+    def run_block(self, state: ChromatinState, n_steps: int) -> ChromatinState:
+        return jax.jit(self._run_n, static_argnums=1)(state, n_steps)
+
+    def run(self, state: Optional[ChromatinState] = None, log=print):
+        c = self.config
+        if state is None:
+            state = self.init()
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        done = 0
+        while done < c.num_steps:
+            block = min(c.log_every, c.num_steps - done)
+            state = self.run_block(state, block)
+            jax.block_until_ready(state)
+            done += block
+            tps = done / (time.perf_counter() - t0)
+            bound = int(jnp.sum(state.xl_state == BINDING_STATE.DOUBLY_BOUND)) if self.X else 0
+            log(f"step {done}/{c.num_steps}  tps={tps:.2f}  "
+                f"doubly_bound={bound}/{self.X}  rebuilds={int(state.rebuild_count)}  "
+                f"overflow={bool(state.overflow)}")
+        if bool(state.overflow):
+            raise RuntimeError("capacity overflow")
+        return state

@@ -1,0 +1,57 @@
+"""Chromatin/HP1 app: chains + contact + KMC + confinement."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mundy_tpu.driver.apps.chromatin import ChromatinConfig, ChromatinSim
+from mundy_tpu.kmc import BINDING_STATE
+
+
+def cfg(**kw):
+    base = dict(num_chains=2, beads_per_chain=64, bead_radius=0.5,
+                num_crosslinkers=32, diffusion_coeff=0.05, dt=2e-4,
+                num_steps=50, dtype="float64", chunk=256, log_every=1000)
+    base.update(kw)
+    return ChromatinConfig(**base)
+
+
+def test_chains_stay_connected():
+    sim = ChromatinSim(cfg())
+    state = sim.init()
+    state = sim.run_block(state, 200)
+    assert not bool(state.overflow)
+    pos = np.asarray(state.pos).reshape(2, 64, 3)
+    bond_len = np.linalg.norm(np.diff(pos, axis=1), axis=-1)
+    # FENE rmax = 1.5 * 2r = 1.5: no bond may exceed it
+    assert bond_len.max() < 1.5
+    assert bond_len.min() > 0.3  # WCA keeps beads from collapsing
+    assert np.isfinite(pos).all()
+
+
+def test_crosslinkers_bind_and_unbind():
+    sim = ChromatinSim(cfg(binding_rate=50.0, unbinding_rate=5.0))
+    state = sim.init()
+    assert int(jnp.sum(state.xl_state == BINDING_STATE.DOUBLY_BOUND)) == 0
+    state = sim.run_block(state, 300)
+    bound = int(jnp.sum(state.xl_state == BINDING_STATE.DOUBLY_BOUND))
+    assert bound > 0  # some bound
+    # bound targets are valid beads
+    bt = np.asarray(state.xl_bound_to)
+    st = np.asarray(state.xl_state)
+    assert (bt[st == BINDING_STATE.DOUBLY_BOUND] >= 0).all()
+    assert (bt[st == BINDING_STATE.LEFT_BOUND] == -1).all()
+
+
+def test_periphery_confines():
+    R = 12.0
+    sim = ChromatinSim(cfg(periphery_radius=R, diffusion_coeff=0.2))
+    state = sim.init()
+    state = sim.run_block(state, 300)
+    r = np.linalg.norm(np.asarray(state.pos), axis=1)
+    assert r.max() < R + 0.5  # at most marginal poke-out against the wall
+
+
+def test_rpy_hydro_runs():
+    sim = ChromatinSim(cfg(hydro="rpy_neighbors", num_steps=20))
+    state = sim.run_block(sim.init(), 20)
+    assert np.isfinite(np.asarray(state.pos)).all()

@@ -13,27 +13,44 @@ itself (a sharded per-domain box works transparently).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
-from mundy_tpu.core.containers import pytree_dataclass
+from mundy_tpu.core.containers import pytree_dataclass, static_field
 
 
 @pytree_dataclass
 class Metric:
     """cell: (..., 3, 3) column-vector lattice matrix (box vectors in columns);
-    inv_cell: its inverse; periodic: (..., 3) bool per-axis flags."""
+    inv_cell: its inverse; periodic: (..., 3) bool per-axis flags.
+
+    `diagonal` (static) marks orthorhombic cells: the fractional maps become
+    elementwise multiplies. TPU correctness note: the triclinic einsum path
+    MUST run at HIGHEST precision — the default matmul precision routes the
+    3x3 contraction through the MXU in bfloat16, quantizing every wrapped
+    position to ~box/256 (observed as 0.1-unit position jumps at box=28).
+    """
 
     cell: Array
     inv_cell: Array
     periodic: Array
+    diagonal: bool = static_field(default=False)
 
     # ---- fractional coordinate maps (ref periodicity.hpp to/from_fractional)
     def to_fractional(self, p: Array) -> Array:
-        return jnp.einsum("...ij,...j->...i", self.inv_cell, p)
+        if self.diagonal:
+            d = jnp.diagonal(self.inv_cell, axis1=-2, axis2=-1)
+            return p * d
+        return jnp.einsum("...ij,...j->...i", self.inv_cell, p,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def from_fractional(self, f: Array) -> Array:
-        return jnp.einsum("...ij,...j->...i", self.cell, f)
+        if self.diagonal:
+            d = jnp.diagonal(self.cell, axis1=-2, axis2=-1)
+            return f * d
+        return jnp.einsum("...ij,...j->...i", self.cell, f,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def frac_minimum_image(self, f: Array) -> Array:
         """Map fractional components to [-1/2, 1/2) on periodic axes."""
@@ -64,7 +81,7 @@ class Metric:
 def free_space(dtype=jnp.float32) -> Metric:
     """ref: EuclideanMetric (periodicity.hpp:155) / FreeSpaceMetric."""
     eye = jnp.eye(3, dtype=dtype)
-    return Metric(cell=eye, inv_cell=eye, periodic=jnp.zeros(3, bool))
+    return Metric(cell=eye, inv_cell=eye, periodic=jnp.zeros(3, bool), diagonal=True)
 
 
 def periodic(box_lengths, periodic_axes=(True, True, True), dtype=None) -> Metric:
@@ -80,7 +97,8 @@ def periodic(box_lengths, periodic_axes=(True, True, True), dtype=None) -> Metri
     inv = jnp.zeros_like(cell)
     for i in range(3):
         inv = inv.at[..., i, i].set(1.0 / box[..., i])
-    return Metric(cell=cell, inv_cell=inv, periodic=jnp.asarray(periodic_axes, bool))
+    return Metric(cell=cell, inv_cell=inv, periodic=jnp.asarray(periodic_axes, bool),
+                  diagonal=True)
 
 
 def triclinic(cell, periodic_axes=(True, True, True)) -> Metric:
@@ -90,4 +108,5 @@ def triclinic(cell, periodic_axes=(True, True, True)) -> Metric:
         cell=cell,
         inv_cell=jnp.linalg.inv(cell),
         periodic=jnp.asarray(periodic_axes, bool),
+        diagonal=False,
     )

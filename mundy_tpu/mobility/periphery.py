@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array
@@ -166,7 +167,10 @@ def surface_densities(periphery: Periphery, u_slip: Array) -> Array:
 
     u_slip (Q, 3): ambient velocity evaluated at the surface nodes.
     """
-    q = -(periphery.m_inv @ u_slip.reshape(-1))
+    # HIGHEST precision: the default TPU matmul precision (bf16 on the MXU)
+    # would inject ~1e-2 relative error into the no-slip balance.
+    q = -jnp.dot(periphery.m_inv, u_slip.reshape(-1),
+                 precision=jax.lax.Precision.HIGHEST)
     return q.reshape(-1, 3)
 
 

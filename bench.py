@@ -21,6 +21,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: axon remote compiles take minutes; cache them
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     n = int(os.environ.get("BENCH_N", 1_000_000))

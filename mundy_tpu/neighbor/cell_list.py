@@ -100,16 +100,20 @@ def _linear_cell(grid: CellGrid, c: Array) -> Array:
     return c[..., 0] + nx * (c[..., 1] + ny * c[..., 2])
 
 
-def build_cell_list(pos: Array, grid: CellGrid, cell_capacity: int) -> CellList:
+def build_cell_list(pos: Array, grid: CellGrid, cell_capacity: int,
+                    valid: Optional[Array] = None) -> CellList:
     """Bin particles into the dense (ncells, capacity) table.
 
     Pure-XLA construction: sort by cell id, compute within-cell rank by a
     segment trick, scatter into the dense table. One sort = the Morton-sort
-    locality pass of the reference's LBVH build.
+    locality pass of the reference's LBVH build. Rows with valid=False are
+    dropped (capacity-padded inputs, e.g. shard slots/halo buffers).
     """
     n = pos.shape[0]
     ncells = int(np.prod(grid.dims))
     cell_of = _linear_cell(grid, _cell_coords(grid, pos))
+    if valid is not None:
+        cell_of = jnp.where(valid, cell_of, ncells)
 
     order = jnp.argsort(cell_of)
     sorted_cells = cell_of[order]

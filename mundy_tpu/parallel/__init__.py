@@ -6,6 +6,17 @@ ghosting/aura -> halo exchange (all-gather of boundary slabs or ppermute
 rings); RCB load balance -> Hilbert-key resharding.
 """
 
-from mundy_tpu.parallel.sharded_step import make_sharded_spheres_step
+from mundy_tpu.parallel.sharded_step import (
+    make_sharded_spheres_step,
+    make_slab_spheres_step,
+)
+from mundy_tpu.parallel.slab import ShardState, halo_exchange, migrate, slab_bounds
 
-__all__ = ["make_sharded_spheres_step"]
+__all__ = [
+    "make_sharded_spheres_step",
+    "make_slab_spheres_step",
+    "ShardState",
+    "halo_exchange",
+    "migrate",
+    "slab_bounds",
+]

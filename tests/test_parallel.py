@@ -1,0 +1,126 @@
+"""Multi-device execution on the 8-device virtual CPU mesh.
+
+Mirrors the reference strategy of emulating multi-node with multiple MPI
+ranks on one host (SURVEY.md §4): the slab-decomposed step must reproduce
+the physics of a single-device reference run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from mundy_tpu.parallel import make_sharded_spheres_step
+from mundy_tpu.parallel.sharded_step import make_slab_spheres_step
+
+
+@pytest.fixture
+def mesh(devices8):
+    return Mesh(devices8, ("shard",))
+
+
+def test_gather_version_runs(mesh):
+    step, init = make_sharded_spheres_step(
+        mesh, "shard", n_total=512, box_size=16.0, radius=0.5,
+        diffusion=0.05, dt=1e-4, max_neighbors=16, cell_capacity=32)
+    pos = init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    p, ov = step(pos, key, jnp.asarray(0, jnp.int32))
+    assert p.shape == (512, 3)
+    assert np.isfinite(np.asarray(p)).all()
+    assert float(ov) >= 0
+
+
+def test_slab_version_physics(mesh):
+    """Slab-decomposed run: all particles preserved, positions stay in the
+    box, overlaps relax over steps, no capacity overflow."""
+    n = 800
+    step, init = make_slab_spheres_step(
+        mesh, "shard", n_total=n, box_size=20.0, radius=0.5,
+        youngs=200.0, diffusion=0.05, dt=2e-4, max_neighbors=32,
+        cell_capacity=32)
+    pos, active, gid, ovf = init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    assert int(jnp.sum(active)) == n
+
+    overlaps = []
+    for s in range(200):
+        pos, active, gid, ovf, mo = step(pos, active, gid, ovf,
+                                         key, jnp.asarray(s, jnp.int32))
+        overlaps.append(float(mo))
+    assert not bool(ovf)
+    # conservation: every particle still owned exactly once
+    assert int(jnp.sum(active)) == n
+    gids = np.sort(np.asarray(gid)[np.asarray(active)])
+    np.testing.assert_array_equal(gids, np.arange(n))
+    # physics: worst overlap shrinks
+    assert overlaps[-1] < 0.7 * overlaps[0]
+    p = np.asarray(pos)[np.asarray(active)]
+    assert (p >= 0).all() and (p <= 20.0).all()
+
+
+def test_slab_matches_single_device(mesh):
+    """Same initial condition stepped once (no Brownian): the slab-sharded
+    forces must match a brute-force single-device computation."""
+    n = 400
+    box = 16.0
+    radius = 0.5
+    step, init = make_slab_spheres_step(
+        mesh, "shard", n_total=n, box_size=box, radius=radius,
+        youngs=200.0, diffusion=0.0, dt=1e-3, max_neighbors=32,
+        cell_capacity=32)
+    pos, active, gid, ovf = init(jax.random.PRNGKey(0))
+    pos0_by_gid = np.zeros((n, 3))
+    pos0_by_gid[np.asarray(gid)[np.asarray(active)]] = np.asarray(pos)[np.asarray(active)]
+
+    key = jax.random.PRNGKey(1)
+    pos1, active1, gid1, ovf1, _ = step(pos, active, gid, ovf, key,
+                                        jnp.asarray(0, jnp.int32))
+    out_by_gid = np.zeros((n, 3))
+    out_by_gid[np.asarray(gid1)[np.asarray(active1)]] = np.asarray(pos1)[np.asarray(active1)]
+
+    # single-device reference (brute-force O(N^2), float64)
+    p = pos0_by_gid
+    d = p[:, None, :] - p[None, :, :]
+    d -= box * np.round(d / box)
+    dist = np.linalg.norm(d, axis=-1)
+    np.fill_diagonal(dist, np.inf)
+    delta = np.maximum(2 * radius - dist, 0.0)
+    e_eff = 200.0 / (2 * (1 - 0.09))
+    mag = (4 / 3) * e_eff * np.sqrt(radius / 2) * delta**1.5
+    nhat = d / dist[..., None]
+    force = (mag[..., None] * nhat).sum(axis=1)  # force on i away from j
+    vel = force / (6 * np.pi * 1.0 * radius)
+    expect = np.mod(p + 1e-3 * vel, box)
+
+    np.testing.assert_allclose(out_by_gid, expect, atol=5e-5)
+
+
+def test_migration_across_shards(mesh):
+    """Particles drifting across slab boundaries change owners without loss."""
+    n = 64
+    box = 16.0
+    step, init = make_slab_spheres_step(
+        mesh, "shard", n_total=n, box_size=box, radius=0.2,
+        youngs=0.0, diffusion=0.5, dt=5e-3, max_neighbors=8,
+        cell_capacity=64)
+    pos, active, gid, ovf = init(jax.random.PRNGKey(2))
+    owner0 = np.repeat(np.arange(8), pos.shape[0] // 8)[np.asarray(active)]
+    key = jax.random.PRNGKey(3)
+    for s in range(50):
+        pos, active, gid, ovf, _ = step(pos, active, gid, ovf, key,
+                                        jnp.asarray(s, jnp.int32))
+    assert not bool(ovf)
+    assert int(jnp.sum(active)) == n
+    gids = np.sort(np.asarray(gid)[np.asarray(active)])
+    np.testing.assert_array_equal(gids, np.arange(n))
+    # with strong diffusion, at least one particle changed shard
+    slot_owner = np.repeat(np.arange(8), pos.shape[0] // 8)
+    owner_of_gid = np.zeros(n, int)
+    owner_of_gid[np.asarray(gid)[np.asarray(active)]] = slot_owner[np.asarray(active)]
+    # compare against initial owners
+    init_owner = np.zeros(n, int)
+    pos0, active0, gid0, _ = init(jax.random.PRNGKey(2))
+    init_owner[np.asarray(gid0)[np.asarray(active0)]] = slot_owner[np.asarray(active0)]
+    assert (owner_of_gid != init_owner).any()

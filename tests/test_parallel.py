@@ -124,3 +124,39 @@ def test_migration_across_shards(mesh):
     pos0, active0, gid0, _ = init(jax.random.PRNGKey(2))
     init_owner[np.asarray(gid0)[np.asarray(active0)]] = slot_owner[np.asarray(active0)]
     assert (owner_of_gid != init_owner).any()
+
+
+def test_ring_rpy_matches_dense(mesh):
+    """Sharded ring-RPY product must equal the single-device dense apply."""
+    from mundy_tpu.parallel.ring_rpy import make_ring_rpy_apply
+    from mundy_tpu.mobility import rpy_apply_dense
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = 256
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0, 10, (n, 3)), jnp.float64)
+    f = jnp.asarray(rng.normal(size=(n, 3)), jnp.float64)
+    expect = rpy_apply_dense(pos, f, 0.4, 1.3, chunk=64)
+
+    apply = make_ring_rpy_apply(mesh, "shard", radius=0.4, viscosity=1.3,
+                                chunk=32)
+    sh = NamedSharding(mesh, P("shard"))
+    u = apply(jax.device_put(pos, sh), jax.device_put(f, sh))
+    np.testing.assert_allclose(np.asarray(u), np.asarray(expect), rtol=1e-10)
+
+
+def test_hilbert_shard_permutation_locality():
+    from mundy_tpu.parallel.ring_rpy import hilbert_shard_permutation
+
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 10, (4096, 3))
+    perm = hilbert_shard_permutation(pos, [0, 0, 0], [10, 10, 10])
+    assert sorted(perm.tolist()) == list(range(4096))
+    # spatial locality: the bounding box of each of 8 contiguous chunks is
+    # much smaller than the domain
+    sorted_pos = pos[perm]
+    vols = []
+    for c in np.array_split(sorted_pos, 8):
+        ext = c.max(axis=0) - c.min(axis=0)
+        vols.append(np.prod(ext))
+    assert np.mean(vols) < 0.35 * 1000.0  # vs full box volume 1000

@@ -225,19 +225,22 @@ def neighbor_matrix(
             ex = sl(excl_p)  # (chunk, E)
             ok &= jnp.all(cand[:, :, None] != ex[:, None, :], axis=-1)
 
-        # compact each row to the first K hits via top_k (much cheaper than a
-        # full row sort on TPU): ok entries get value (ncand - col) > 0, so
-        # top_k returns them first, in ascending-column (stable) order.
-        ncand = 27 * cap
-        col = jnp.arange(ncand, dtype=jnp.int32)
-        vals = jnp.where(ok, ncand - col, 0)
-        top_vals, top_pos = jax.lax.top_k(vals, max_neighbors)
-        row_ok = top_vals > 0
-        row_idx = jnp.take_along_axis(cand, top_pos, axis=1)
-        count = jnp.sum(ok, axis=1)
+        # compact each row to its first K hits by cumsum + scatter — no sort
+        # or top_k (both are ~100x slower than a scatter at this width on
+        # TPU; the original argsort cost ~800 ms per rebuild at 100k).
+        dest_col = jnp.cumsum(ok, axis=1, dtype=jnp.int32) - 1
+        keep = ok & (dest_col < max_neighbors)
+        rows = jnp.arange(chunk, dtype=jnp.int32)[:, None]
+        flat_dest = jnp.where(keep, rows * max_neighbors + dest_col,
+                              chunk * max_neighbors)
+        row_idx = jnp.full((chunk * max_neighbors,), n, jnp.int32).at[
+            flat_dest.reshape(-1)].set(cand.reshape(-1), mode="drop")
+        row_ok = jnp.zeros((chunk * max_neighbors,), bool).at[
+            flat_dest.reshape(-1)].set(keep.reshape(-1), mode="drop")
+        count = dest_col[:, -1] + 1
         return (
-            jnp.where(row_ok, row_idx, n),
-            row_ok,
+            row_idx.reshape(chunk, max_neighbors),
+            row_ok.reshape(chunk, max_neighbors),
             jnp.any(count > max_neighbors),
         )
 

@@ -143,3 +143,53 @@ def test_crosslinker_state_machine():
     assert set(b[:3]).issubset({4, 5, 6})
     assert (s[3:] == BINDING_STATE.LEFT_BOUND).all()
     assert (b[3:] == -1).all()
+
+
+# ------------------------------------------------------------ native fastio
+def test_native_trajectory_round_trip(tmp_path, rng):
+    from mundy_tpu.io.native import library
+    from mundy_tpu.io.trajectory import TrajectoryReader, TrajectoryWriter
+
+    assert library() is not None  # g++ is baked into this image
+    path = str(tmp_path / "t.mtrj")
+    frames = [rng.normal(size=(50, 3)).astype(np.float32) for _ in range(5)]
+    with TrajectoryWriter(path, 50) as w:
+        for i, f in enumerate(frames):
+            w.write(i * 10, i * 0.1, f)
+    r = TrajectoryReader(path)
+    assert r.num_frames == 5 and r.n == 50
+    for i, f in enumerate(frames):
+        step, time, pos = r.read(i)
+        assert step == i * 10
+        np.testing.assert_allclose(time, i * 0.1)
+        np.testing.assert_array_equal(pos, f)
+    r.close()
+
+
+def test_native_trajectory_crc_detects_corruption(tmp_path, rng):
+    from mundy_tpu.io.trajectory import TrajectoryReader, TrajectoryWriter
+
+    path = str(tmp_path / "c.mtrj")
+    with TrajectoryWriter(path, 10) as w:
+        w.write(0, 0.0, rng.normal(size=(10, 3)).astype(np.float32))
+    # flip a payload byte
+    data = bytearray(open(path, "rb").read())
+    data[-5] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    r = TrajectoryReader(path)
+    with pytest.raises(IOError, match="CRC"):
+        r.read(0)
+
+
+def test_native_hilbert_keys_match_jax(rng):
+    from mundy_tpu.io.trajectory import hilbert_keys_native
+    from mundy_tpu.math.spacefill import hilbert_key_3d
+
+    pos = rng.uniform(0, 10, (500, 3))
+    keys_c = hilbert_keys_native(pos, [0, 0, 0], [10, 10, 10], bits=8)
+    assert keys_c is not None
+    cells = np.clip((pos / 10 * 256).astype(np.int64), 0, 255)
+    keys_j = np.asarray(hilbert_key_3d(jnp.asarray(cells[:, 0]),
+                                       jnp.asarray(cells[:, 1]),
+                                       jnp.asarray(cells[:, 2]), bits=8))
+    np.testing.assert_array_equal(keys_c, keys_j)

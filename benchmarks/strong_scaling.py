@@ -1,0 +1,77 @@
+"""Strong-scaling harness: Brownian spheres over 1..D devices.
+
+Mirrors the reference harness
+(`scrap/parameter_interface/alens/tests/performance_tests/
+mundy_brownian_strongscaling.yaml` — npart sweeps x node counts): fixed
+total particle count, device count swept over the mesh, tps recorded per
+configuration. Run on CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8
+to emulate a slice, or on a real multi-chip TPU topology.
+
+Usage: python benchmarks/strong_scaling.py [--npart 100000] [--steps 50]
+Prints one JSON line per (n_devices, npart).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def run_one(n_devices: int, npart: int, steps: int, box: float) -> dict:
+    from jax.sharding import Mesh
+    from mundy_tpu.parallel import make_slab_spheres_step
+
+    devs = jax.devices()[:n_devices]
+    mesh = Mesh(devs, ("shard",))
+    step_fn, init_fn = make_slab_spheres_step(
+        mesh, "shard", n_total=npart, box_size=box, radius=0.5,
+        diffusion=0.1, dt=1e-4, max_neighbors=32, cell_capacity=16)
+    pos, active, gid, ovf = init_fn(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    pos, active, gid, ovf, _ = step_fn(pos, active, gid, ovf, key,
+                                       jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(pos)
+
+    t0 = time.perf_counter()
+    for s in range(1, steps + 1):
+        pos, active, gid, ovf, _ = step_fn(pos, active, gid, ovf, key,
+                                           jnp.asarray(s, jnp.int32))
+    jax.block_until_ready(pos)
+    elapsed = time.perf_counter() - t0
+    return {
+        "n_devices": n_devices,
+        "npart": npart,
+        "steps": steps,
+        "tps": steps / elapsed,
+        "particle_steps_per_sec": npart * steps / elapsed,
+        "overflow_flags": int(ovf),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--npart", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--devices", type=int, nargs="*", default=None,
+                    help="device counts to sweep (default: 1,2,4,...,all)")
+    args = ap.parse_args()
+
+    total = len(jax.devices())
+    counts = args.devices or [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
+    # box for phi = 5%
+    box = (args.npart * (4 / 3) * 3.141592653589793 * 0.125 / 0.05) ** (1 / 3)
+    for d in counts:
+        print(json.dumps(run_one(d, args.npart, args.steps, box)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

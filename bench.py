@@ -47,8 +47,8 @@ def main():
         dt=1e-4,
         skin=0.4,
         max_neighbors=32,
-        cell_capacity=16,
-        chunk=65536,
+        cell_capacity=8,
+        chunk=16384,
         dtype="float32",
     )
     sim = SpheresSim(cfg)

@@ -1,0 +1,198 @@
+"""Spheres app on the dense row-grid engine (gather-free hot path).
+
+Same physics as driver.apps.spheres (BASELINE config #1) but the state lives
+in the (ny, nz, R) row layout between rebuilds: the inner step is 9 rolls +
+dense (R x R) pair blocks on the VPU with ZERO gathers/scatters, and a
+rebuild is one sort + one N-element scatter. See neighbor/rows.py for the
+measured irregular-access costs that motivate this design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math as _math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.core.containers import pytree_dataclass
+from mundy_tpu.driver.apps.spheres import SpheresConfig
+from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
+from mundy_tpu.geom import periodic
+from mundy_tpu.neighbor.rows import (
+    RowState,
+    build_rows,
+    make_row_grid,
+    moved_beyond_skin,
+    pair_accumulate,
+    rows_to_flat,
+)
+
+
+@pytree_dataclass
+class RowSpheresState:
+    rows: RowState
+    key: Array
+    step: Array
+    rebuild_count: Array
+    overflow: Array
+
+
+class RowSpheresSim:
+    """Assembled row-engine simulation for SpheresConfig."""
+
+    def __init__(self, config: SpheresConfig, capacity_slack: float = 2.5):
+        self.config = c = config
+        self.dtype = jnp.dtype(c.dtype)
+        box = np.array([c.box_size] * 3)
+        self.metric = periodic(box, dtype=self.dtype)
+        self.cutoff = 2 * c.radius + c.skin
+        self.grid = make_row_grid([0, 0, 0], box, self.cutoff, c.num_spheres,
+                                  capacity_slack=capacity_slack, dtype=self.dtype)
+        self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
+        self.e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
+                                      c.poissons_ratio, c.poissons_ratio)
+
+    def init(self, key: Optional[Array] = None) -> RowSpheresState:
+        c = self.config
+        if key is None:
+            key = jax.random.PRNGKey(c.seed)
+        kp, ks = jax.random.split(key)
+        pos = jax.random.uniform(kp, (c.num_spheres, 3), dtype=self.dtype,
+                                 maxval=c.box_size)
+        rows = build_rows(pos, jnp.arange(c.num_spheres, dtype=jnp.int32), self.grid)
+        return RowSpheresState(rows=rows, key=ks, step=jnp.asarray(0, jnp.int32),
+                               rebuild_count=jnp.asarray(1, jnp.int32),
+                               overflow=rows.overflow)
+
+    # ------------------------------------------------------------------
+    def _forces(self, rows: RowState) -> Array:
+        c = self.config
+        r_eff = jnp.asarray(0.5 * c.radius, self.dtype)
+        e_eff = jnp.asarray(self.e_eff, self.dtype)
+        two_r = jnp.asarray(2.0 * c.radius, self.dtype)
+
+        def pair_fn(sep, r2, mask):
+            r2 = jnp.maximum(r2, 1e-24)
+            rinv = jax.lax.rsqrt(r2)
+            d = r2 * rinv
+            mag = hertzian_pair_force(d - two_r, r_eff, e_eff)
+            w = jnp.where(mask, mag * rinv, 0.0)
+            return -w[..., None] * sep
+
+        return pair_accumulate(rows, self.metric, pair_fn)
+
+    def _inner_step(self, state: RowSpheresState) -> RowSpheresState:
+        c = self.config
+        rows = state.rows
+        vel = self.inv_drag * self._forces(rows)
+        if c.diffusion_coeff > 0:
+            # gid-keyed noise: identical streams to the flat-layout engine
+            z_flat = jax.random.normal(jax.random.fold_in(state.key, state.step),
+                                       (c.num_spheres, 3), dtype=self.dtype)
+            z = z_flat[jnp.minimum(rows.gid, c.num_spheres - 1)]
+            z = jnp.where(rows.valid[..., None], z, 0.0)
+            scale = jnp.sqrt(jnp.asarray(2.0 * c.diffusion_coeff / c.dt, self.dtype))
+            vel = vel + scale * z
+        new_pos = self.metric.wrap(rows.pos + jnp.asarray(c.dt, self.dtype) * vel)
+        new_pos = jnp.where(rows.valid[..., None], new_pos, rows.pos)
+        return state.replace(rows=rows.replace(pos=new_pos), step=state.step + 1)
+
+    def _rebuild(self, state: RowSpheresState) -> RowSpheresState:
+        c = self.config
+        flat = rows_to_flat(state.rows, c.num_spheres)
+        rows = build_rows(flat, jnp.arange(c.num_spheres, dtype=jnp.int32), self.grid)
+        return state.replace(rows=rows,
+                             rebuild_count=state.rebuild_count + 1,
+                             overflow=state.overflow | rows.overflow)
+
+    def _run_n(self, state: RowSpheresState, n_steps: int) -> RowSpheresState:
+        c = self.config
+        target = jnp.asarray(n_steps, jnp.int32)
+
+        def inner_cond(carry):
+            s, done = carry
+            return jnp.logical_and(
+                done < target,
+                jnp.logical_not(moved_beyond_skin(s.rows, self.metric, c.skin)),
+            )
+
+        def inner_body(carry):
+            s, done = carry
+            return self._inner_step(s), done + 1
+
+        def outer_body(carry):
+            s, done = carry
+            s = self._rebuild(s)
+            s, done = inner_body((s, done))
+            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+
+        state, _ = jax.lax.while_loop(
+            lambda carry: carry[1] < target, outer_body,
+            (state, jnp.asarray(0, jnp.int32)),
+        )
+        return state
+
+    def run_block(self, state: RowSpheresState, n_steps: int) -> RowSpheresState:
+        return jax.jit(self._run_n, static_argnums=1)(state, n_steps)
+
+    def run(self, state: Optional[RowSpheresState] = None, log=print):
+        c = self.config
+        if state is None:
+            state = self.init()
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        done = 0
+        while done < c.num_steps:
+            block = min(c.log_every, c.num_steps - done)
+            state = self.run_block(state, block)
+            jax.block_until_ready(state)
+            done += block
+            tps = done / (time.perf_counter() - t0)
+            log(f"step {done}/{c.num_steps}  tps={tps:.1f}  "
+                f"rebuilds={int(state.rebuild_count)}  overflow={bool(state.overflow)}")
+        if bool(state.overflow):
+            raise RuntimeError("row capacity overflow: raise capacity_slack")
+        return state
+
+    # diagnostics ------------------------------------------------------
+    def positions(self, state: RowSpheresState) -> Array:
+        return rows_to_flat(state.rows, self.config.num_spheres)
+
+    def max_overlap(self, state: RowSpheresState) -> float:
+        c = self.config
+        two_r = 2.0 * c.radius
+
+        def pair_fn(sep, r2, mask):
+            d = jnp.sqrt(jnp.maximum(r2, 1e-24))
+            ov = jnp.where(mask, jnp.maximum(two_r - d, 0.0), 0.0)
+            # hijack the (..., 3) contract: store overlap in component 0
+            out = jnp.zeros(sep.shape, sep.dtype)
+            return out.at[..., 0].set(ov)
+
+        # max via accumulate-sum isn't right; do a direct pass
+        rows = state.rows
+        best = 0.0
+        import numpy as _np
+
+        pos = rows.pos
+        valid = rows.valid
+        R = pos.shape[2]
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+        worst = jnp.asarray(0.0, self.dtype)
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cand_pos = jnp.roll(pos, (-dy, -dz), axis=(0, 1)) if (dy, dz) != (0, 0) else pos
+                cand_valid = jnp.roll(valid, (-dy, -dz), axis=(0, 1)) if (dy, dz) != (0, 0) else valid
+                sep = self.metric.sep(pos[..., :, None, :], cand_pos[..., None, :, :])
+                d = jnp.linalg.norm(sep, axis=-1)
+                mask = valid[..., :, None] & cand_valid[..., None, :]
+                if (dy, dz) == (0, 0):
+                    mask = mask & (slot_ids[..., :, None] != slot_ids[..., None, :])
+                ov = jnp.where(mask, two_r - d, -jnp.inf)
+                worst = jnp.maximum(worst, jnp.max(ov))
+        return float(worst)

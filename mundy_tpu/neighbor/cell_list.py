@@ -165,6 +165,33 @@ def _neighbor_cells_of(grid: CellGrid, coords: Array) -> tuple[Array, Array]:
     return _linear_cell(grid, nb), valid
 
 
+def _compact_rows(cand: Array, ok: Array, k: int, empty_marker: int):
+    """First-k row compaction via binary search on the row cumsum.
+
+    cand/ok: (rows, ncand). Returns (idx (rows, k), mask (rows, k),
+    count (rows,)). The column of the j-th hit is the first c with
+    cumsum(ok)[c] >= j+1 — located with ceil(log2(ncand)) take_along_axis
+    gathers, the cheapest primitive for this job on TPU.
+    """
+    rows, ncand = cand.shape
+    c = jnp.cumsum(ok, axis=1, dtype=jnp.int32)
+    count = c[:, -1]
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)[None, :]  # (1, k)
+    lo = jnp.zeros((rows, k), jnp.int32)
+    hi = jnp.full((rows, k), ncand, jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(ncand))))
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        cm = jnp.take_along_axis(c, jnp.minimum(mid, ncand - 1), axis=1)
+        ge = cm >= targets
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    found = targets <= count[:, None]
+    col = jnp.minimum(lo, ncand - 1)
+    idx = jnp.take_along_axis(cand, col, axis=1)
+    return jnp.where(found, idx, empty_marker), found, count
+
+
 def neighbor_matrix(
     pos: Array,
     clist: CellList,
@@ -225,24 +252,12 @@ def neighbor_matrix(
             ex = sl(excl_p)  # (chunk, E)
             ok &= jnp.all(cand[:, :, None] != ex[:, None, :], axis=-1)
 
-        # compact each row to its first K hits by cumsum + scatter — no sort
-        # or top_k (both are ~100x slower than a scatter at this width on
-        # TPU; the original argsort cost ~800 ms per rebuild at 100k).
-        dest_col = jnp.cumsum(ok, axis=1, dtype=jnp.int32) - 1
-        keep = ok & (dest_col < max_neighbors)
-        rows = jnp.arange(chunk, dtype=jnp.int32)[:, None]
-        flat_dest = jnp.where(keep, rows * max_neighbors + dest_col,
-                              chunk * max_neighbors)
-        row_idx = jnp.full((chunk * max_neighbors,), n, jnp.int32).at[
-            flat_dest.reshape(-1)].set(cand.reshape(-1), mode="drop")
-        row_ok = jnp.zeros((chunk * max_neighbors,), bool).at[
-            flat_dest.reshape(-1)].set(keep.reshape(-1), mode="drop")
-        count = dest_col[:, -1] + 1
-        return (
-            row_idx.reshape(chunk, max_neighbors),
-            row_ok.reshape(chunk, max_neighbors),
-            jnp.any(count > max_neighbors),
-        )
+        # compact each row to its first K hits. TPU op-cost reality (measured
+        # at 100k, 432 candidates/row): argsort ~800 ms, top_k ~650 ms,
+        # scatter ~240 ms — but take_along_axis gathers are cheap, so find
+        # the k-th hit's column by binary search on the row cumsum.
+        row_idx, row_ok, count = _compact_rows(cand, ok, max_neighbors, n)
+        return row_idx, row_ok, jnp.any(count > max_neighbors)
 
     starts = jnp.arange(0, n_pad, chunk, dtype=jnp.int32)
     idx_c, mask_c, ovf_c = jax.lax.map(one_chunk, starts)

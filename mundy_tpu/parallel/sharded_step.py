@@ -55,22 +55,13 @@ def _local_neighbor_rows(local_pos, local_ids, full_pos, clist, search_radius,
     # squaring alone would resurrect them)
     ok = (cand >= 0) & (cutoff > 0) & (d2 <= cutoff * cutoff) & (cand != local_ids[:, None])
 
-    # cumsum + scatter compaction (see cell_list.neighbor_matrix)
+    # binary-search compaction (see cell_list._compact_rows)
+    from mundy_tpu.neighbor.cell_list import _compact_rows
+
     n_full = full_pos.shape[0]
-    dest_col = jnp.cumsum(ok, axis=1, dtype=jnp.int32) - 1
-    keep = ok & (dest_col < max_neighbors)
-    rows = jnp.arange(n_local, dtype=jnp.int32)[:, None]
-    flat_dest = jnp.where(keep, rows * max_neighbors + dest_col,
-                          n_local * max_neighbors)
-    row_idx = jnp.full((n_local * max_neighbors,), n_full, jnp.int32).at[
-        flat_dest.reshape(-1)].set(cand.reshape(-1), mode="drop")
-    row_ok = jnp.zeros((n_local * max_neighbors,), bool).at[
-        flat_dest.reshape(-1)].set(keep.reshape(-1), mode="drop")
-    overflow = jnp.any(dest_col[:, -1] + 1 > max_neighbors)
+    row_idx, row_ok, count = _compact_rows(cand, ok, max_neighbors, n_full)
     return NeighborMatrix(
-        idx=row_idx.reshape(n_local, max_neighbors),
-        mask=row_ok.reshape(n_local, max_neighbors),
-        overflow=overflow,
+        idx=row_idx, mask=row_ok, overflow=jnp.any(count > max_neighbors)
     )
 
 

@@ -216,7 +216,12 @@ class SpheresSim:
 
     def run_block(self, state: SpheresState, n_steps: int) -> SpheresState:
         """n_steps fully on-chip (nested while: rebuild + step bursts)."""
-        return jax.jit(self._run_n, static_argnums=1)(state, n_steps)
+        # n_steps is traced (used only in comparisons), so one compiled
+        # program serves every block size — no recompile per block length
+        if not hasattr(self, '_run_jit'):
+            self._run_jit = jax.jit(self._run_n)
+        import jax.numpy as _jnp
+        return self._run_jit(state, _jnp.asarray(n_steps, _jnp.int32))
 
     # ------------------------------------------------------------------
     def run(self, state: Optional[SpheresState] = None, log=print):

@@ -62,6 +62,9 @@ from mundy_tpu.geom.aabb import (
     compute_bounding_radius_sphere,
     compute_bounding_radius_spherocylinder,
     compute_bounding_radius_ellipsoid,
+    compute_obb_sphere,
+    compute_obb_spherocylinder,
+    compute_obb_ellipsoid,
     aabb_union,
     aabb_inflate,
 )
@@ -84,7 +87,9 @@ __all__ = [
     "compute_aabb_spherocylinder", "compute_aabb_scsegment",
     "compute_aabb_ellipsoid", "compute_aabb_point",
     "compute_bounding_radius_sphere", "compute_bounding_radius_spherocylinder",
-    "compute_bounding_radius_ellipsoid", "aabb_union", "aabb_inflate",
+    "compute_bounding_radius_ellipsoid", "compute_obb_sphere",
+    "compute_obb_spherocylinder", "compute_obb_ellipsoid",
+    "aabb_union", "aabb_inflate",
     "transform_points", "inverse_transform_points",
     "random_points_in_box", "random_unit_quaternions",
 ]

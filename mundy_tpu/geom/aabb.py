@@ -78,3 +78,29 @@ def aabb_inflate(a: AABB, margin) -> AABB:
     ref GenNeighborLinkers search-sphere inflation)."""
     m = jnp.asarray(margin)[..., None] if jnp.ndim(margin) else margin
     return AABB(min=a.min - m, max=a.max + m)
+
+
+# ---------------------------------------------------------------------------
+# Oriented bounding boxes (ref: scrap/.../shapes/compute_obb/kernels/)
+# ---------------------------------------------------------------------------
+def compute_obb_sphere(s: Sphere):
+    """OBB of a sphere: identity orientation, cubic half-extents.
+    Returns (center (...,3), orientation quaternion (...,4), half_extents (...,3))."""
+    from mundy_tpu.math.quaternion import quat_identity
+
+    q = jnp.zeros(s.center.shape[:-1] + (4,), s.center.dtype).at[..., 0].set(1.0)
+    half = jnp.broadcast_to(s.radius[..., None], s.center.shape)
+    return s.center, q, half
+
+
+def compute_obb_spherocylinder(sc: Spherocylinder):
+    """OBB aligned with the capsule axis: half-extents (r, r, L/2 + r)."""
+    half = jnp.stack(
+        [sc.radius, sc.radius, 0.5 * sc.length + sc.radius], axis=-1
+    )
+    return sc.center, sc.orientation, half
+
+
+def compute_obb_ellipsoid(e: Ellipsoid):
+    """OBB aligned with the body axes: half-extents = the radii."""
+    return e.center, e.orientation, e.radii

@@ -68,6 +68,10 @@ class LCPSpheresState:
     gamma: Array  # (C,) warm-start lagrange multipliers
     key: Array
     step: Array
+    nmat: object  # NeighborMatrix (skin-buffered)
+    pairs: object  # PairList (skin-buffered constraint candidates)
+    ref_pos: Array  # positions at last rebuild
+    rebuild_count: Array
     lcp_iters: Array  # () int32 — last solve iterations
     lcp_residual: Array
     overflow: Array
@@ -85,6 +89,18 @@ class LCPSpheresSim:
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
         self._step_jit = jax.jit(self._step)
 
+    def _broad_phase(self, pos):
+        c = self.config
+        clist = build_cell_list(pos, self.grid, c.cell_capacity)
+        nmat = neighbor_matrix(
+            pos, clist, jnp.asarray(self.search_radius, self.dtype),
+            metric=self.metric, max_neighbors=c.max_neighbors,
+            chunk=min(c.chunk, max(256, c.num_spheres)),
+        )
+        pairs = build_pair_list(nmat, self.pair_capacity)
+        ovf = clist.overflow | nmat.overflow | pairs.overflow
+        return nmat, pairs, ovf
+
     def init(self, key: Optional[Array] = None) -> LCPSpheresState:
         c = self.config
         if key is None:
@@ -92,15 +108,24 @@ class LCPSpheresSim:
         kpos, kstate = jax.random.split(key)
         pos = jax.random.uniform(kpos, (c.num_spheres, 3), dtype=self.dtype,
                                  maxval=c.box_size)
+        nmat, pairs, ovf = self._broad_phase(pos)
         return LCPSpheresState(
             pos=pos,
             gamma=jnp.zeros((self.pair_capacity,), self.dtype),
             key=kstate,
             step=jnp.asarray(0, jnp.int32),
+            nmat=nmat, pairs=pairs, ref_pos=pos,
+            rebuild_count=jnp.asarray(1, jnp.int32),
             lcp_iters=jnp.asarray(0, jnp.int32),
             lcp_residual=jnp.asarray(0.0, self.dtype),
-            overflow=jnp.asarray(False),
+            overflow=ovf,
         )
+
+    def _rebuild(self, state: LCPSpheresState) -> LCPSpheresState:
+        nmat, pairs, ovf = self._broad_phase(state.pos)
+        return state.replace(nmat=nmat, pairs=pairs, ref_pos=state.pos,
+                             rebuild_count=state.rebuild_count + 1,
+                             overflow=state.overflow | ovf)
 
     def _mobility(self, pos, nmat):
         c = self.config
@@ -111,20 +136,17 @@ class LCPSpheresSim:
             overlap_correction=True,
         )
 
-    def _step(self, state: LCPSpheresState) -> LCPSpheresState:
+    def _inner_step(self, state: LCPSpheresState) -> LCPSpheresState:
+        """Constraint assembly + BBPGD + Euler against the skin-buffered pair
+        list (separations/normals recomputed from current positions each
+        step; stale far pairs simply yield gamma = 0). The reference rebuilds
+        its BVH each step — the skin buffer makes that unnecessary without
+        missing contacts while displacements stay under skin/2."""
         c = self.config
         pos = state.pos
-
-        # broad phase every step (constraint set must be current for the LCP;
-        # the reference rebuilds the BVH search each step too, StkNgpLCP main)
-        clist = build_cell_list(pos, self.grid, c.cell_capacity)
-        nmat = neighbor_matrix(
-            pos, clist, jnp.asarray(self.search_radius, self.dtype),
-            metric=self.metric, max_neighbors=c.max_neighbors,
-            chunk=min(c.chunk, max(256, c.num_spheres)),
-        )
-        pairs = build_pair_list(nmat, self.pair_capacity)
-        overflow = state.overflow | clist.overflow | nmat.overflow | pairs.overflow
+        pairs = state.pairs
+        nmat = state.nmat
+        overflow = state.overflow
 
         setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
                                         pairs, metric=self.metric)
@@ -151,14 +173,50 @@ class LCPSpheresSim:
             overflow=overflow,
         )
 
+    def _step(self, state: LCPSpheresState) -> LCPSpheresState:
+        """Single step with skin-triggered rebuild (for one-off stepping)."""
+        c = self.config
+        disp = self.metric.sep(state.ref_pos, state.pos)
+        moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (0.5 * c.constraint_buffer) ** 2
+        state = jax.lax.cond(moved, self._rebuild, lambda s: s, state)
+        return self._inner_step(state)
+
     def step(self, state: LCPSpheresState) -> LCPSpheresState:
         return self._step_jit(state)
 
-    def run_block(self, state: LCPSpheresState, n_steps: int) -> LCPSpheresState:
-        def body(s, _):
-            return self._step(s), None
+    def _run_n(self, state: LCPSpheresState, n_steps) -> LCPSpheresState:
+        c = self.config
+        target = jnp.asarray(n_steps, jnp.int32)
+        skin_sq = jnp.asarray((0.5 * c.constraint_buffer) ** 2, self.dtype)
 
-        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n_steps)[0])(state)
+        def moved(s):
+            disp = self.metric.sep(s.ref_pos, s.pos)
+            return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
+
+        def inner_cond(carry):
+            s, done = carry
+            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+
+        def inner_body(carry):
+            s, done = carry
+            return self._inner_step(s), done + 1
+
+        def outer_body(carry):
+            s, done = carry
+            s = self._rebuild(s)
+            s, done = inner_body((s, done))
+            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+
+        state, _ = jax.lax.while_loop(
+            lambda carry: carry[1] < target, outer_body,
+            (state, jnp.asarray(0, jnp.int32)),
+        )
+        return state
+
+    def run_block(self, state: LCPSpheresState, n_steps: int) -> LCPSpheresState:
+        if not hasattr(self, "_run_jit"):
+            self._run_jit = jax.jit(self._run_n)
+        return self._run_jit(state, jnp.asarray(n_steps, jnp.int32))
 
     def run(self, state: Optional[LCPSpheresState] = None, log=print):
         c = self.config

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -29,11 +30,25 @@ from mundy_tpu.neighbor.cell_list import PairList
 
 
 class CollisionSetup(NamedTuple):
-    """Per-pair constraint data (capacity-padded, mask in `pairs.mask`)."""
+    """Per-pair constraint data (capacity-padded, mask in `pairs.mask`).
+
+    `j_perm` (optional, (C,) int32): permutation sorting pairs by j with
+    padded slots last — computed once per pair-list rebuild. When present,
+    force assembly uses sorted segment-sums on both sides instead of
+    scatter-adds (scatters cost ~7-10 ns/element on TPU; sorted segment
+    sums are the cheap path).
+    """
 
     pairs: PairList
     normals: Array  # (C, 3) unit, from body i toward body j
     sep0: Array  # (C,) signed separation at assembly time
+    j_perm: Optional[Array] = None
+
+
+def pair_j_permutation(pairs: PairList, n_bodies: int) -> Array:
+    """Rebuild-time permutation sorting pairs by j (padded slots last)."""
+    key = jnp.where(pairs.mask, pairs.j, n_bodies)
+    return jnp.argsort(key).astype(jnp.int32)
 
 
 def collision_setup_spheres(
@@ -41,6 +56,7 @@ def collision_setup_spheres(
     radius: Array,
     pairs: PairList,
     metric: Optional[Metric] = None,
+    j_perm: Optional[Array] = None,
 ) -> CollisionSetup:
     """Signed separation + contact normal per pair.
 
@@ -54,17 +70,28 @@ def collision_setup_spheres(
     normals = sep / d[..., None]
     radius = jnp.broadcast_to(radius, pos.shape[:1])
     sep0 = d - radius[pairs.i] - radius[pairs.j]
-    return CollisionSetup(pairs=pairs, normals=normals, sep0=sep0)
+    return CollisionSetup(pairs=pairs, normals=normals, sep0=sep0, j_perm=j_perm)
 
 
 def collision_forces(setup: CollisionSetup, gamma: Array, n_bodies: int) -> Array:
-    """F = D gamma: scatter -gamma*n to body i, +gamma*n to body j.
+    """F = D gamma: -gamma*n to body i, +gamma*n to body j.
 
-    ref: sum_collision_force (`StkNgpLCP.cpp:578-610`); atomics become
-    index-add scatters (deterministic on XLA).
+    ref: sum_collision_force (`StkNgpLCP.cpp:578-610`). With `j_perm` both
+    sides run as sorted segment-sums (build_pair_list emits pairs already
+    sorted by i; padded ids map to the dropped segment n_bodies); without it
+    fall back to index-add scatters.
     """
     g = jnp.where(setup.pairs.mask, gamma, 0.0)
     gn = g[:, None] * setup.normals
+    if setup.j_perm is not None:
+        i_ids = jnp.where(setup.pairs.mask, setup.pairs.i, n_bodies)
+        f_i = jax.ops.segment_sum(gn, i_ids, num_segments=n_bodies,
+                                  indices_are_sorted=True)
+        jp = setup.j_perm
+        j_ids = jnp.where(setup.pairs.mask[jp], setup.pairs.j[jp], n_bodies)
+        f_j = jax.ops.segment_sum(gn[jp], j_ids, num_segments=n_bodies,
+                                  indices_are_sorted=True)
+        return f_j - f_i
     f = jnp.zeros((n_bodies, 3), gn.dtype)
     f = f.at[setup.pairs.i].add(-gn)
     f = f.at[setup.pairs.j].add(gn)

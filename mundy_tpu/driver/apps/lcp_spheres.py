@@ -22,6 +22,7 @@ import numpy as np
 from jax import Array
 
 from mundy_tpu.constraints import collision_setup_spheres, resolve_collisions
+from mundy_tpu.constraints.collision import pair_j_permutation
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity, euler_step
 from mundy_tpu.geom import periodic
@@ -70,6 +71,7 @@ class LCPSpheresState:
     step: Array
     nmat: object  # NeighborMatrix (skin-buffered)
     pairs: object  # PairList (skin-buffered constraint candidates)
+    j_perm: Array  # (C,) pairs sorted by j (segment-sum assembly)
     ref_pos: Array  # positions at last rebuild
     rebuild_count: Array
     lcp_iters: Array  # () int32 — last solve iterations
@@ -114,7 +116,9 @@ class LCPSpheresSim:
             gamma=jnp.zeros((self.pair_capacity,), self.dtype),
             key=kstate,
             step=jnp.asarray(0, jnp.int32),
-            nmat=nmat, pairs=pairs, ref_pos=pos,
+            nmat=nmat, pairs=pairs,
+            j_perm=pair_j_permutation(pairs, c.num_spheres),
+            ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32),
             lcp_iters=jnp.asarray(0, jnp.int32),
             lcp_residual=jnp.asarray(0.0, self.dtype),
@@ -123,7 +127,9 @@ class LCPSpheresSim:
 
     def _rebuild(self, state: LCPSpheresState) -> LCPSpheresState:
         nmat, pairs, ovf = self._broad_phase(state.pos)
-        return state.replace(nmat=nmat, pairs=pairs, ref_pos=state.pos,
+        return state.replace(nmat=nmat, pairs=pairs,
+                             j_perm=pair_j_permutation(pairs, self.config.num_spheres),
+                             ref_pos=state.pos,
                              rebuild_count=state.rebuild_count + 1,
                              overflow=state.overflow | ovf)
 
@@ -149,7 +155,8 @@ class LCPSpheresSim:
         overflow = state.overflow
 
         setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
-                                        pairs, metric=self.metric)
+                                        pairs, metric=self.metric,
+                                        j_perm=state.j_perm)
         mobility = self._mobility(pos, nmat)
 
         # warm start from previous multipliers (same slot layout only if the

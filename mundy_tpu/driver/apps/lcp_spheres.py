@@ -50,7 +50,7 @@ class LCPSpheresConfig:
     max_allowable_overlap: float = 1e-5  # StkNgpLCP main param
     max_col_iterations: int = 10_000
     hydro: str = "none"  # "none" (dry) | "rpy_neighbors"
-    pair_capacity_per_body: int = 12
+    pair_capacity_per_body: int = 2
     max_neighbors: int = 32
     cell_capacity: int = 16
     chunk: int = 32768
@@ -154,9 +154,11 @@ class LCPSpheresSim:
         nmat = state.nmat
         overflow = state.overflow
 
+        # NOTE: scatter-add assembly measured faster than the sorted
+        # segment-sum alternative on v5e (854 vs 1231 ms/step at the same
+        # config); keep j_perm unused here but available in CollisionSetup.
         setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
-                                        pairs, metric=self.metric,
-                                        j_perm=state.j_perm)
+                                        pairs, metric=self.metric)
         mobility = self._mobility(pos, nmat)
 
         # warm start from previous multipliers (same slot layout only if the

@@ -45,7 +45,7 @@ class RowSpheresState:
 class RowSpheresSim:
     """Assembled row-engine simulation for SpheresConfig."""
 
-    def __init__(self, config: SpheresConfig, capacity_slack: float = 2.5):
+    def __init__(self, config: SpheresConfig, capacity_slack: float = 1.9):
         self.config = c = config
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)

@@ -17,6 +17,11 @@ from mundy_tpu.mobility.rpy import (
     rpy_apply_neighbors,
     rpy_self_mobility,
 )
+from mundy_tpu.mobility.ewald import (
+    EwaldRPY,
+    build_ewald_rpy,
+    ewald_rpy_apply,
+)
 
 __all__ = [
     "local_drag_mobility",
@@ -24,4 +29,7 @@ __all__ = [
     "rpy_apply_dense",
     "rpy_apply_neighbors",
     "rpy_self_mobility",
+    "EwaldRPY",
+    "build_ewald_rpy",
+    "ewald_rpy_apply",
 ]

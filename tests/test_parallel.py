@@ -160,3 +160,44 @@ def test_hilbert_shard_permutation_locality():
         ext = c.max(axis=0) - c.min(axis=0)
         vols.append(np.prod(ext))
     assert np.mean(vols) < 0.35 * 1000.0  # vs full box volume 1000
+
+
+def test_slab_rows_matches_single_chip(mesh):
+    """Sharded row engine must reproduce the single-chip row engine exactly
+    (same gid-keyed Brownian streams, same rebuild logic)."""
+    from mundy_tpu.driver.apps.spheres import SpheresConfig
+    from mundy_tpu.driver.apps.spheres_rows import RowSpheresSim
+    from mundy_tpu.parallel.slab_rows import make_slab_rows_spheres_step
+    from mundy_tpu.neighbor.rows import rows_to_flat, RowState
+
+    n = 600
+    box = 16.0
+    cfg = SpheresConfig(num_spheres=n, box_size=box, radius=0.5,
+                        youngs_modulus=200.0, diffusion_coeff=0.05,
+                        dt=2e-4, skin=0.4, dtype="float32", log_every=1000)
+    # single chip reference
+    sim = RowSpheresSim(cfg)
+    init_fn, step_fn, grid = make_slab_rows_spheres_step(
+        mesh, "shard", n_total=n, box_size=box, radius=0.5, youngs=200.0,
+        poisson=0.3, diffusion=0.05, dt=2e-4, skin=0.4)
+    # align grids: the slab engine rounds nz to the mesh size; rebuild the
+    # single-chip sim on the same grid for exact comparison
+    sim.grid = grid
+    key = jax.random.PRNGKey(7)
+    s_ref = sim.init(key)
+    state = init_fn(key)
+    np.testing.assert_array_equal(np.asarray(state["gid"]),
+                                  np.asarray(s_ref.rows.gid))
+
+    s_ref = sim.run_block(s_ref, 30)
+    state = step_fn(state, 30)
+    assert not bool(state["overflow"]) and not bool(s_ref.overflow)
+
+    flat_ref = np.asarray(sim.positions(s_ref))
+    # flatten sharded rows by gid
+    pos = np.asarray(state["pos"]).reshape(-1, 3)
+    gid = np.asarray(state["gid"]).reshape(-1)
+    val = np.asarray(state["valid"]).reshape(-1)
+    flat = np.zeros((n, 3), np.float32)
+    flat[gid[val]] = pos[val]
+    np.testing.assert_allclose(flat, flat_ref, atol=2e-4)

@@ -26,7 +26,12 @@ from mundy_tpu.constraints.collision import pair_j_permutation
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity, euler_step
 from mundy_tpu.geom import periodic
-from mundy_tpu.mobility import local_drag_mobility, rpy_apply_neighbors
+from mundy_tpu.mobility import (
+    build_ewald_rpy,
+    ewald_rpy_apply,
+    local_drag_mobility,
+    rpy_apply_neighbors,
+)
 from mundy_tpu.neighbor import (
     build_cell_list,
     build_pair_list,
@@ -49,7 +54,7 @@ class LCPSpheresConfig:
     constraint_buffer: float = 0.2
     max_allowable_overlap: float = 1e-5  # StkNgpLCP main param
     max_col_iterations: int = 10_000
-    hydro: str = "none"  # "none" (dry) | "rpy_neighbors"
+    hydro: str = "none"  # "none" (dry) | "rpy_neighbors" | "rpy_ewald"
     pair_capacity_per_body: int = 2
     max_neighbors: int = 32
     cell_capacity: int = 16
@@ -59,7 +64,7 @@ class LCPSpheresConfig:
     log_every: int = 10
 
     def __validate__(self):
-        assert self.hydro in ("none", "rpy_neighbors"), self.hydro
+        assert self.hydro in ("none", "rpy_neighbors", "rpy_ewald"), self.hydro
         assert self.num_spheres > 0 and self.dt > 0
 
 
@@ -71,6 +76,7 @@ class LCPSpheresState:
     step: Array
     nmat: object  # NeighborMatrix (skin-buffered)
     pairs: object  # PairList (skin-buffered constraint candidates)
+    hydro_nmat: object  # NeighborMatrix for hydrodynamics (wider cutoff)
     j_perm: Array  # (C,) pairs sorted by j (segment-sum assembly)
     ref_pos: Array  # positions at last rebuild
     rebuild_count: Array
@@ -89,6 +95,20 @@ class LCPSpheresSim:
         self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
                                    (True,) * 3, self.dtype)
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
+        self.ewald = None
+        if c.hydro == "rpy_ewald":
+            # periodic long-range RPY with its own real-space cutoff (~L/4,
+            # balancing k-mode count against real-space pair volume); the
+            # hydro neighbor structure is built separately from the tighter
+            # constraint search
+            r_cut = 0.25 * c.box_size
+            self.ewald = build_ewald_rpy(
+                c.box_size, c.radius, c.viscosity,
+                xi=3.0 / r_cut, r_cut=r_cut, tol=1e-4, dtype=self.dtype)
+            self.hydro_search = 0.5 * r_cut + 0.25 * c.skin if False else 0.5 * r_cut
+            self.hydro_grid = make_cell_grid(
+                [0, 0, 0], np.array([c.box_size] * 3),
+                2 * self.hydro_search, (True,) * 3, self.dtype)
         self._step_jit = jax.jit(self._step)
 
     def _broad_phase(self, pos):
@@ -101,7 +121,17 @@ class LCPSpheresSim:
         )
         pairs = build_pair_list(nmat, self.pair_capacity)
         ovf = clist.overflow | nmat.overflow | pairs.overflow
-        return nmat, pairs, ovf
+        if self.ewald is not None:
+            hcl = build_cell_list(pos, self.hydro_grid, 4 * c.cell_capacity)
+            hmat = neighbor_matrix(
+                pos, hcl, jnp.asarray(self.hydro_search, self.dtype),
+                metric=self.metric, max_neighbors=8 * c.max_neighbors,
+                chunk=min(c.chunk, max(256, c.num_spheres)),
+            )
+            ovf = ovf | hcl.overflow | hmat.overflow
+        else:
+            hmat = nmat
+        return nmat, pairs, hmat, ovf
 
     def init(self, key: Optional[Array] = None) -> LCPSpheresState:
         c = self.config
@@ -110,13 +140,13 @@ class LCPSpheresSim:
         kpos, kstate = jax.random.split(key)
         pos = jax.random.uniform(kpos, (c.num_spheres, 3), dtype=self.dtype,
                                  maxval=c.box_size)
-        nmat, pairs, ovf = self._broad_phase(pos)
+        nmat, pairs, hmat, ovf = self._broad_phase(pos)
         return LCPSpheresState(
             pos=pos,
             gamma=jnp.zeros((self.pair_capacity,), self.dtype),
             key=kstate,
             step=jnp.asarray(0, jnp.int32),
-            nmat=nmat, pairs=pairs,
+            nmat=nmat, pairs=pairs, hydro_nmat=hmat,
             j_perm=pair_j_permutation(pairs, c.num_spheres),
             ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32),
@@ -126,8 +156,8 @@ class LCPSpheresSim:
         )
 
     def _rebuild(self, state: LCPSpheresState) -> LCPSpheresState:
-        nmat, pairs, ovf = self._broad_phase(state.pos)
-        return state.replace(nmat=nmat, pairs=pairs,
+        nmat, pairs, hmat, ovf = self._broad_phase(state.pos)
+        return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
                              j_perm=pair_j_permutation(pairs, self.config.num_spheres),
                              ref_pos=state.pos,
                              rebuild_count=state.rebuild_count + 1,
@@ -137,6 +167,8 @@ class LCPSpheresSim:
         c = self.config
         if c.hydro == "none":
             return lambda f: local_drag_mobility(f, c.radius, c.viscosity)
+        if c.hydro == "rpy_ewald":
+            return lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat, self.metric)
         return lambda f: rpy_apply_neighbors(
             pos, f, nmat, c.radius, c.viscosity, metric=self.metric,
             overlap_correction=True,
@@ -159,7 +191,7 @@ class LCPSpheresSim:
         # config); keep j_perm unused here but available in CollisionSetup.
         setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
                                         pairs, metric=self.metric)
-        mobility = self._mobility(pos, nmat)
+        mobility = self._mobility(pos, state.hydro_nmat)
 
         # warm start from previous multipliers (same slot layout only if the
         # pair list is stable; stale slots are safe — just a warm guess)

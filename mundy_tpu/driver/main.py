@@ -50,7 +50,17 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    config, sim = build_simulation_from_yaml(args.config, _parse_overrides(args.overrides))
+    # enable x64 before building the sim if the config requests float64
+    # (otherwise jnp silently truncates and warns on every call)
+    from mundy_tpu.core.config import load_yaml
+
+    overrides = _parse_overrides(args.overrides)
+    spec = load_yaml(args.config)
+    dtype = (overrides.get("dtype") or (spec.get("params") or {}).get("dtype"))
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    config, sim = build_simulation_from_yaml(args.config, overrides)
     print(f"app config: {config}")
 
     state = sim.init()

@@ -66,3 +66,14 @@ def test_warm_start_reduces_iterations():
     for _ in range(5):
         s = sim.step(s)
     assert int(s.lcp_iters) <= first_iters
+
+
+def test_overlaps_resolved_ewald_hydro():
+    """Full periodic RPY (Ewald) mobility inside the collision LCP."""
+    sim = LCPSpheresSim(cfg(hydro="rpy_ewald", num_steps=15, box_size=14.0,
+                            dt=2e-3))
+    state = sim.init()
+    o0 = sim.max_overlap(state)
+    state = sim.run_block(state, 15)
+    assert not bool(state.overflow)
+    assert sim.max_overlap(state) < 0.1 * max(o0, 1e-6)

@@ -28,7 +28,9 @@ from mundy_tpu.neighbor.rows import (
     build_rows,
     make_row_grid,
     moved_beyond_skin,
+    orthorhombic_lengths,
     pair_accumulate,
+    pair_accumulate_central,
     rows_to_flat,
 )
 
@@ -53,6 +55,7 @@ class RowSpheresSim:
         self.cutoff = 2 * c.radius + c.skin
         self.grid = make_row_grid([0, 0, 0], box, self.cutoff, c.num_spheres,
                                   capacity_slack=capacity_slack, dtype=self.dtype)
+        self.box_static = orthorhombic_lengths(self.metric)
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
         self.e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
                                       c.poissons_ratio, c.poissons_ratio)
@@ -76,6 +79,21 @@ class RowSpheresSim:
         e_eff = jnp.asarray(self.e_eff, self.dtype)
         two_r = jnp.asarray(2.0 * c.radius, self.dtype)
 
+        g = rows.pos.shape
+        use_central = (self.box_static is not None and g[0] >= 5 and g[1] >= 5)
+        if use_central:
+            # Hertzian repulsion is central: f_i = sum_j w * (x_j - x_i) with
+            # w = -mag/d <= 0 -> mask-free fused row kernel (sentinel slots
+            # and self-pairs eliminate themselves; see pair_accumulate_central)
+            def scalar_fn(r2):
+                r2 = jnp.maximum(r2, 1e-24)
+                rinv = jax.lax.rsqrt(r2)
+                d = r2 * rinv
+                mag = hertzian_pair_force(d - two_r, r_eff, e_eff)
+                return -mag * rinv
+
+            return pair_accumulate_central(rows, self.box_static, scalar_fn)
+
         def pair_fn(sep, r2, mask):
             r2 = jnp.maximum(r2, 1e-24)
             rinv = jax.lax.rsqrt(r2)
@@ -84,7 +102,7 @@ class RowSpheresSim:
             w = jnp.where(mask, mag * rinv, 0.0)
             return -w[..., None] * sep
 
-        return pair_accumulate(rows, self.metric, pair_fn)
+        return pair_accumulate(rows, self.metric, pair_fn, box=self.box_static)
 
     def _inner_step(self, state: RowSpheresState) -> RowSpheresState:
         c = self.config

@@ -32,7 +32,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
 from mundy_tpu.geom import periodic
-from mundy_tpu.neighbor.rows import RowGrid, build_rows, make_row_grid, rows_to_flat
+from mundy_tpu.neighbor.rows import (
+    RowGrid,
+    _roll_image_shift,
+    build_rows,
+    make_row_grid,
+    rows_to_flat,
+)
 
 
 def make_slab_rows_spheres_step(
@@ -75,31 +81,52 @@ def make_slab_rows_spheres_step(
     e_eff = effective_youngs(youngs, youngs, poisson, poisson)
     box = (float(box_size),) * 3
 
-    def _forces_local(pos_ext, valid_ext):
-        """9-offset stencil on the halo-extended block (ny, nzl+2, R, 3)."""
-        own_p = pos_ext[:, 1:1 + nzl]
-        own_v = valid_ext[:, 1:1 + nzl]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
-        force = jnp.zeros_like(own_p)
+    def _forces_local(pos_ext):
+        """9-offset stencil on the halo-extended block (ny, nzl+2, R, 3).
+
+        Same fused component-plane kernel as pair_accumulate_central: the
+        z halo planes arrive with their global-wrap coordinate shift already
+        applied (halo_ext), y wrap is an O(R) pre-shift of rolled rows, and x
+        gets a per-pair one-component minimum image. Invalid slots carry
+        sentinel positions (build_rows) and self-pairs have sep = 0, so no
+        validity mask is needed — identical arithmetic to the single-chip
+        row engine, hence identical trajectories."""
+        x, y, z = pos_ext[..., 0], pos_ext[..., 1], pos_ext[..., 2]
+        cxs, cys, czs = [], [], []
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
-                cand_p = pos_ext[:, 1 + dz:1 + dz + nzl]
-                cand_v = valid_ext[:, 1 + dz:1 + dz + nzl]
+                cx = x[:, 1 + dz:1 + dz + nzl]
+                cy_ = y[:, 1 + dz:1 + dz + nzl]
+                cz = z[:, 1 + dz:1 + dz + nzl]
                 if dy != 0:
-                    cand_p = jnp.roll(cand_p, -dy, axis=0)
-                    cand_v = jnp.roll(cand_v, -dy, axis=0)
-                sep = metric.sep(own_p[..., :, None, :], cand_p[..., None, :, :])
-                r2 = jnp.maximum(jnp.sum(sep * sep, axis=-1), 1e-24)
-                rinv = jax.lax.rsqrt(r2)
-                dist = r2 * rinv
-                delta = jnp.maximum(2 * radius - dist, 0.0)
-                mag = (4.0 / 3.0) * e_eff * jnp.sqrt(0.5 * radius * delta) * delta
-                mask = own_v[..., :, None] & cand_v[..., None, :]
-                if dy == 0 and dz == 0:
-                    mask = mask & (slot[..., :, None] != slot[..., None, :])
-                w = jnp.where(mask, mag * rinv, 0.0)
-                force = force - jnp.sum(w[..., None] * sep, axis=3)
-        return force
+                    cx = jnp.roll(cx, -dy, axis=0)
+                    cy_ = jnp.roll(cy_, -dy, axis=0) + _roll_image_shift(
+                        ny, dy, box_size, dtype)[:, None, None]
+                    cz = jnp.roll(cz, -dy, axis=0)
+                cxs.append(cx)
+                cys.append(cy_)
+                czs.append(cz)
+        cx = jnp.concatenate(cxs, axis=-1)  # (ny, nzl, 9R)
+        cy_ = jnp.concatenate(cys, axis=-1)
+        cz = jnp.concatenate(czs, axis=-1)
+        ox = x[:, 1:1 + nzl]
+        oy = y[:, 1:1 + nzl]
+        oz = z[:, 1:1 + nzl]
+        DX = cx[..., None, :] - ox[..., :, None]
+        DX = DX - box_size * jnp.round(DX * (1.0 / box_size))
+        DY = cy_[..., None, :] - oy[..., :, None]
+        DZ = cz[..., None, :] - oz[..., :, None]
+        r2 = jnp.maximum(DX * DX + DY * DY + DZ * DZ, 1e-24)
+        rinv = jax.lax.rsqrt(r2)
+        dist = r2 * rinv
+        mag = hertzian_pair_force(dist - jnp.asarray(2.0 * radius, dtype),
+                                  jnp.asarray(0.5 * radius, dtype),
+                                  jnp.asarray(e_eff, dtype))
+        w = -mag * rinv
+        fx = jnp.sum(w * DX, axis=-1)
+        fy = jnp.sum(w * DY, axis=-1)
+        fz = jnp.sum(w * DZ, axis=-1)
+        return jnp.stack([fx, fy, fz], axis=-1)
 
     def local_block(pos, valid, gid, ref_pos, overflow, key, n_steps):
         """shard_map body: run n_steps with rebuilds. All arrays local
@@ -108,18 +135,22 @@ def make_slab_rows_spheres_step(
         perm_dn = [(i, (i - 1) % d) for i in range(d)]
         target = n_steps
 
-        def halo_ext(p, v):
+        def halo_ext(p):
+            """One boundary z-plane from each ring neighbor, with the global
+            z-wrap coordinate shift applied to the wrapped planes (the shard
+            at the box edge sees its neighbor's plane one box away)."""
+            me = jax.lax.axis_index(axis)
             lo = jax.lax.ppermute(p[:, -1:], axis, perm_up)  # from left nbr
             hi = jax.lax.ppermute(p[:, :1], axis, perm_dn)  # from right nbr
-            vlo = jax.lax.ppermute(v[:, -1:], axis, perm_up)
-            vhi = jax.lax.ppermute(v[:, :1], axis, perm_dn)
-            return (jnp.concatenate([lo, p, hi], axis=1),
-                    jnp.concatenate([vlo, v, vhi], axis=1))
+            ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+            lo = lo + jnp.where(me == 0, -box_size, 0.0).astype(dtype) * ez
+            hi = hi + jnp.where(me == d - 1, box_size, 0.0).astype(dtype) * ez
+            return jnp.concatenate([lo, p, hi], axis=1)
 
         def inner_step(carry):
             pos, valid, gid, ref_pos, key, step, done = carry
-            pos_ext, valid_ext = halo_ext(pos, valid)
-            f = _forces_local(pos_ext, valid_ext)
+            pos_ext = halo_ext(pos)
+            f = _forces_local(pos_ext)
             vel = inv_drag * f
             if diffusion > 0:
                 z_flat = jax.random.normal(jax.random.fold_in(key, step),

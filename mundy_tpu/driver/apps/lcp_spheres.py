@@ -141,6 +141,17 @@ class LCPSpheresSim:
         pos = jax.random.uniform(kpos, (c.num_spheres, 3), dtype=self.dtype,
                                  maxval=c.box_size)
         nmat, pairs, hmat, ovf = self._broad_phase(pos)
+        # Right-size the pair capacity: every BBPGD iteration scatters and
+        # gathers over the FULL capacity (~9 ns/row on v5e), so slack is paid
+        # 2x per iteration. Measure the real candidate count once at init and
+        # shrink to 1.6x that (+margin); the sticky overflow flag catches
+        # configs that densify later.
+        count = int(jax.device_get(jnp.sum(pairs.mask)))
+        tight = int(count * 1.6) + 512
+        tight = ((tight + 1023) // 1024) * 1024
+        if tight < self.pair_capacity:
+            self.pair_capacity = tight
+            nmat, pairs, hmat, ovf = self._broad_phase(pos)
         return LCPSpheresState(
             pos=pos,
             gamma=jnp.zeros((self.pair_capacity,), self.dtype),

@@ -37,6 +37,7 @@ from mundy_tpu.neighbor import (
     build_pair_list,
     make_cell_grid,
     neighbor_matrix,
+    neighbor_matrix_rows,
 )
 
 
@@ -113,14 +114,25 @@ class LCPSpheresSim:
 
     def _broad_phase(self, pos):
         c = self.config
-        clist = build_cell_list(pos, self.grid, c.cell_capacity)
-        nmat = neighbor_matrix(
-            pos, clist, jnp.asarray(self.search_radius, self.dtype),
-            metric=self.metric, max_neighbors=c.max_neighbors,
-            chunk=min(c.chunk, max(256, c.num_spheres)),
-        )
+        # row-layout broad phase when applicable (gather-free; ~10-30x faster
+        # than the cell-list builder at scale), else the general path
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        if n_cells >= 5:
+            nmat = neighbor_matrix_rows(
+                pos, float(self.search_radius), (c.box_size,) * 3,
+                max_neighbors=min(c.max_neighbors, 12),
+            )
+            clist_ovf = jnp.asarray(False)
+        else:
+            clist = build_cell_list(pos, self.grid, c.cell_capacity)
+            nmat = neighbor_matrix(
+                pos, clist, jnp.asarray(self.search_radius, self.dtype),
+                metric=self.metric, max_neighbors=c.max_neighbors,
+                chunk=min(c.chunk, max(256, c.num_spheres)),
+            )
+            clist_ovf = clist.overflow
         pairs = build_pair_list(nmat, self.pair_capacity)
-        ovf = clist.overflow | nmat.overflow | pairs.overflow
+        ovf = clist_ovf | nmat.overflow | pairs.overflow
         if self.ewald is not None:
             hcl = build_cell_list(pos, self.hydro_grid, 4 * c.cell_capacity)
             hmat = neighbor_matrix(

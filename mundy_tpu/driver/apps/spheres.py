@@ -27,7 +27,7 @@ import numpy as np
 from jax import Array
 
 from mundy_tpu.core.containers import pytree_dataclass, static_field
-from mundy_tpu.dynamics import brownian_velocity, euler_step
+from mundy_tpu.dynamics import brownian_velocity_keyed, euler_step
 from mundy_tpu.forces import hertzian_contact_forces
 from mundy_tpu.geom import periodic
 from mundy_tpu.geom.periodicity import Metric
@@ -144,8 +144,9 @@ class SpheresSim:
         )
         vel = self.inv_drag * force
         if c.diffusion_coeff > 0.0:
-            vel = vel + brownian_velocity(
-                state.key, state.step, c.num_spheres,
+            # keyed per-gid streams: identical to the row/slab engines
+            vel = vel + brownian_velocity_keyed(
+                state.key, state.step, jnp.arange(c.num_spheres),
                 jnp.asarray(c.diffusion_coeff, self.dtype), c.dt, dtype=self.dtype,
             )
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)

@@ -21,6 +21,7 @@ from jax import Array
 
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.driver.apps.spheres import SpheresConfig
+from mundy_tpu.dynamics import brownian_velocity_keyed
 from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
 from mundy_tpu.geom import periodic
 from mundy_tpu.neighbor.rows import (
@@ -109,13 +110,13 @@ class RowSpheresSim:
         rows = state.rows
         vel = self.inv_drag * self._forces(rows)
         if c.diffusion_coeff > 0:
-            # gid-keyed noise: identical streams to the flat-layout engine
-            z_flat = jax.random.normal(jax.random.fold_in(state.key, state.step),
-                                       (c.num_spheres, 3), dtype=self.dtype)
-            z = z_flat[jnp.minimum(rows.gid, c.num_spheres - 1)]
-            z = jnp.where(rows.valid[..., None], z, 0.0)
-            scale = jnp.sqrt(jnp.asarray(2.0 * c.diffusion_coeff / c.dt, self.dtype))
-            vel = vel + scale * z
+            # gid-keyed counter-based noise: identical streams to the flat
+            # engine, no gid gather (brownian_velocity_keyed)
+            bz = brownian_velocity_keyed(
+                state.key, state.step, rows.gid,
+                jnp.asarray(c.diffusion_coeff, self.dtype), c.dt,
+                dtype=self.dtype)
+            vel = vel + jnp.where(rows.valid[..., None], bz, 0.0)
         new_pos = self.metric.wrap(rows.pos + jnp.asarray(c.dt, self.dtype) * vel)
         new_pos = jnp.where(rows.valid[..., None], new_pos, rows.pos)
         return state.replace(rows=rows.replace(pos=new_pos), step=state.step + 1)

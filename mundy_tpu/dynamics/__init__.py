@@ -8,11 +8,16 @@ kernels/SpheresKernel.cpp:104-129`).
 """
 
 from mundy_tpu.dynamics.integrators import euler_step, euler_step_rigid
-from mundy_tpu.dynamics.brownian import brownian_velocity, brownian_angular_velocity
+from mundy_tpu.dynamics.brownian import (
+    brownian_velocity,
+    brownian_velocity_keyed,
+    brownian_angular_velocity,
+)
 
 __all__ = [
     "euler_step",
     "euler_step_rigid",
     "brownian_velocity",
+    "brownian_velocity_keyed",
     "brownian_angular_velocity",
 ]

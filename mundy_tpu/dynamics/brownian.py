@@ -28,6 +28,25 @@ def brownian_velocity(key: Array, step: Array, n: int, diffusion: Array, dt,
     return scale[:, None] * z
 
 
+def brownian_velocity_keyed(key: Array, step: Array, gid: Array,
+                            diffusion: Array, dt, dtype=jnp.float32) -> Array:
+    """(..., 3) Brownian velocities keyed by per-entity global id.
+
+    Same counter-based construction as brownian_velocity, but the stream is
+    indexed by (key, step, gid) directly — one threefry block per entity —
+    instead of positions in a length-N array. Engines that hold particles in
+    permuted layouts (row grid, z-slab shards) get identical noise without
+    the gid gather (~4.3 ns/row on v5e, i.e. ~4 ms/step at 1M bodies), and a
+    shard only ever generates noise for the entities it owns."""
+    kstep = jax.random.fold_in(key, step)
+    flat_gid = gid.reshape(-1)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(kstep, flat_gid)
+    z = jax.vmap(lambda k: jax.random.normal(k, (3,), dtype=dtype))(keys)
+    z = z.reshape(gid.shape + (3,))
+    scale = jnp.sqrt(2.0 * jnp.broadcast_to(diffusion, gid.shape) / dt).astype(dtype)
+    return scale[..., None] * z
+
+
 def brownian_angular_velocity(key: Array, step: Array, n: int, rot_diffusion: Array,
                               dt, dtype=jnp.float32) -> Array:
     """(N, 3) rotational Brownian angular velocities (distinct stream)."""

@@ -22,8 +22,18 @@ from mundy_tpu.mobility.ewald import (
     build_ewald_rpy,
     ewald_rpy_apply,
 )
+from mundy_tpu.mobility.spectral import (
+    SpectralEwaldRPY,
+    build_spectral_ewald,
+    se_rpy_apply,
+    se_wave_apply,
+)
 
 __all__ = [
+    "SpectralEwaldRPY",
+    "build_spectral_ewald",
+    "se_rpy_apply",
+    "se_wave_apply",
     "local_drag_mobility",
     "local_drag_angular_mobility",
     "rpy_apply_dense",

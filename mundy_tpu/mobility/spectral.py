@@ -1,0 +1,219 @@
+"""Spectral Ewald (SE / PME-class) wave-space RPY sum: FFT-accelerated
+periodic Stokes mobility.
+
+The reference plans PVFMM/STKFMM kernel-aggregated Stokes FMM for long-range
+hydrodynamics (`TPLsList.cmake:29-30`, `dep/install_pvfmm.sh`); the TPU-native
+equivalent of that O(N)/O(N log N) path is the spectral Ewald method
+(Lindbo & Tornberg 2011): Gaussian-window gridding -> 3D FFT -> per-mode
+RPY x Hasimoto screening (mobility/ewald.py's k-space factors) -> inverse
+FFT -> Gaussian interpolation. FFTs and the k-space multiply are dense
+XLA ops (MXU/VPU friendly); gridding is the only irregular step.
+
+Math (shape splitting): the Hasimoto screen exp(-k^2/4xi^2) is factored as
+    exp(-(1-eta) k^2/4xi^2) * [exp(-eta k^2/8xi^2)]^2
+and the two bracketed factors are realized as forward/backward convolution
+with the spreading Gaussian
+    g(x) = (2 xi^2 / (pi eta))^{3/2} exp(-2 xi^2 |x|^2 / eta),
+truncated at P grid points per axis (error ~ exp(-2 xi^2 w^2 / eta) with
+w = P h / 2; eta is chosen to push that to `tol`). The k-space factor is the
+direct-sum coefficient (ewald.py build_ewald_rpy) times exp(+eta k^2/4xi^2)
+to undo the two grid convolutions. Real-space correction tables and the self
+term are shared with the direct-sum operator unchanged.
+
+Cost: O(N P^3) gridding + O(G^3 log G) FFTs, vs O(N K) for the direct
+k-sum — the 1M-bead path (BASELINE config #5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mundy_tpu.mobility.ewald import EwaldRPY, build_ewald_rpy
+
+
+class SpectralEwaldRPY(NamedTuple):
+    """Precomputed spectral-Ewald operator (wave part on a (G,G,G) grid)."""
+
+    base: EwaldRPY  # real-space tables + self term (shared with direct sum)
+    grid_n: int  # G, FFT grid points per axis
+    support: int  # P, Gaussian support in grid points per axis
+    eta: float  # shape-splitting fraction
+    kcoeff: Array  # (G, G, G//2+1) rfft-layout scaled mode coefficients
+    kvec: tuple  # (kx (G,), ky (G,), kz (G//2+1,)) mode wavenumbers
+
+
+def _fft_wavenumbers(G: int, box: float):
+    k = 2.0 * np.pi * np.fft.fftfreq(G, d=box / G)  # (G,)
+    kr = 2.0 * np.pi * np.fft.rfftfreq(G, d=box / G)  # (G//2+1,)
+    return k, kr
+
+
+def build_spectral_ewald(
+    box: float,
+    radius: float,
+    viscosity: float,
+    xi: Optional[float] = None,
+    r_cut: Optional[float] = None,
+    tol: float = 1e-4,
+    support: Optional[int] = None,
+    oversample: float = 1.0,
+    dtype=jnp.float32,
+) -> SpectralEwaldRPY:
+    """Precompute (host, float64) the SE operator.
+
+    Defaults mirror build_ewald_rpy's splitting; the Gaussian support P and
+    shape fraction eta are set from `tol` by the truncation/alias error
+    balance (see below). `support` overrides P; `oversample` widens the grid
+    beyond the kmax-resolving minimum.
+    """
+    base = build_ewald_rpy(box, radius, viscosity, xi=xi, r_cut=r_cut,
+                           tol=tol, dtype=dtype)
+    xi = base.xi
+    s2 = max(math.log(1.0 / tol), 1.0)
+    kmax = 2.0 * xi * math.sqrt(s2)
+    # Error balance (Lindbo & Tornberg 2011): window truncation
+    # exp(-xi^2 P^2 h^2 / 2 eta) vs gridding alias exp(-eta k_N^2 / 8 xi^2)
+    # with k_N = pi G / L. Equalizing both at tol gives
+    #   eta = 8 xi^2 s2 / k_N^2,   P = 4 s2 / pi.
+    G = int(np.ceil(kmax * box / np.pi * oversample))
+    if support is None:
+        support = int(np.ceil(4.0 * s2 / np.pi))
+    G = max(G, 2 * support)
+    G = int(2 ** np.ceil(np.log2(G)))  # power-of-two FFTs
+    # enforce eta <= 0.9 (the window may not absorb the whole screen)
+    while 8.0 * xi * xi * s2 / (np.pi * G / box) ** 2 > 0.9:
+        G *= 2
+    k_nyq = np.pi * G / box
+    eta = 8.0 * xi * xi * s2 / (k_nyq * k_nyq)
+    support = min(int(support), G)
+
+    kx, _ = _fft_wavenumbers(G, box)
+    ky = kx
+    _, kz = _fft_wavenumbers(G, box)
+    KX, KY, KZ = np.meshgrid(kx, ky, kz, indexing="ij")
+    k2 = KX * KX + KY * KY + KZ * KZ
+    kn = np.sqrt(np.maximum(k2, 1e-300))
+    sinc_ka = np.sinc(kn * radius / np.pi)
+    H = (1 + k2 / (4 * xi**2)) * np.exp(-k2 * (1.0 - eta) / (4 * xi**2))
+    vol = box**3
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = sinc_ka**2 * H / (viscosity * k2) / vol
+    coeff[0, 0, 0] = 0.0  # k = 0 excluded (neutralizing background)
+    # modes beyond kmax contribute ~nothing but cost nothing either; keep
+    # them screened by H rather than hard-truncating (smoother error).
+    return SpectralEwaldRPY(
+        base=base, grid_n=G, support=int(support), eta=float(eta),
+        kcoeff=jnp.asarray(coeff, dtype),
+        kvec=(jnp.asarray(kx, dtype), jnp.asarray(ky, dtype),
+              jnp.asarray(kz, dtype)),
+    )
+
+
+def _window_1d(op: SpectralEwaldRPY, frac: Array, dtype):
+    """(N, P) Gaussian window weights along one axis.
+
+    frac: particle offset from its base grid point in grid units [0, 1).
+    Returns weights at grid offsets -(P/2-1) + [0..P) relative to the base
+    point, i.e. the P nearest grid points."""
+    P = op.support
+    h = op.base.box / op.grid_n
+    xi = op.base.xi
+    c = 2.0 * xi * xi / op.eta
+    pref = math.sqrt(c / math.pi)  # 1D-normalized Gaussian amplitude
+    offs = jnp.arange(P, dtype=dtype) - (P // 2 - 1)
+    dx = (offs[None, :] - frac[:, None]) * h  # (N, P) distances
+    return pref * jnp.exp(-c * dx * dx)
+
+
+def se_spread(op: SpectralEwaldRPY, pos: Array, forces: Array) -> Array:
+    """Spread forces onto the (G, G, G, 3) grid (scatter-add gridding)."""
+    G, P = op.grid_n, op.support
+    dtype = forces.dtype
+    h = op.base.box / G
+    n = pos.shape[0]
+    u = pos / h
+    base = jnp.floor(u).astype(jnp.int32)
+    frac = u - base  # in [0,1)
+    wx = _window_1d(op, frac[:, 0], dtype)  # (N, P)
+    wy = _window_1d(op, frac[:, 1], dtype)
+    wz = _window_1d(op, frac[:, 2], dtype)
+    offs = jnp.arange(P, dtype=jnp.int32) - (P // 2 - 1)
+    gx = (base[:, 0:1] + offs[None, :]) % G  # (N, P)
+    gy = (base[:, 1:2] + offs[None, :]) % G
+    gz = (base[:, 2:3] + offs[None, :]) % G
+    # (N, P, P, P) separable weights x (N, 1, 1, 1, 3) forces
+    w = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    vals = w[..., None] * forces[:, None, None, None, :]
+    idx = (gx[:, :, None, None] * G + gy[:, None, :, None]) * G + gz[:, None, None, :]
+    grid = jnp.zeros((G * G * G, 3), dtype)
+    grid = grid.at[idx.reshape(-1)].add(vals.reshape(-1, 3))
+    return grid.reshape(G, G, G, 3)
+
+
+def se_interpolate(op: SpectralEwaldRPY, pos: Array, grid: Array) -> Array:
+    """Interpolate grid velocities back to particles (gather + weights)."""
+    G, P = op.grid_n, op.support
+    dtype = grid.dtype
+    h = op.base.box / G
+    u = pos / h
+    base = jnp.floor(u).astype(jnp.int32)
+    frac = u - base
+    wx = _window_1d(op, frac[:, 0], dtype)
+    wy = _window_1d(op, frac[:, 1], dtype)
+    wz = _window_1d(op, frac[:, 2], dtype)
+    offs = jnp.arange(P, dtype=jnp.int32) - (P // 2 - 1)
+    gx = (base[:, 0:1] + offs[None, :]) % G
+    gy = (base[:, 1:2] + offs[None, :]) % G
+    gz = (base[:, 2:3] + offs[None, :]) % G
+    idx = (gx[:, :, None, None] * G + gy[:, None, :, None]) * G + gz[:, None, None, :]
+    vals = grid.reshape(-1, 3)[idx.reshape(-1)].reshape(idx.shape + (3,))
+    w = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    vol_cell = h * h * h
+    return jnp.sum(w[..., None] * vals, axis=(1, 2, 3)) * vol_cell
+
+
+def se_wave_apply(op: SpectralEwaldRPY, pos: Array, forces: Array) -> Array:
+    """Wave-space RPY sum via FFTs: the drop-in replacement for
+    ewald_wave_apply at large N. (N, 3) velocities."""
+    G = op.grid_n
+    dtype = forces.dtype
+    grid = se_spread(op, pos, forces)  # (G, G, G, 3)
+    fhat = jnp.fft.rfftn(grid.astype(jnp.float32), axes=(0, 1, 2))  # (G,G,G/2+1,3)
+    kx, ky, kz = op.kvec
+    KX = kx[:, None, None]
+    KY = ky[None, :, None]
+    KZ = kz[None, None, :]
+    k2 = KX * KX + KY * KY + KZ * KZ
+    inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.maximum(k2, 1e-30), 0.0)
+    kdotf = KX * fhat[..., 0] + KY * fhat[..., 1] + KZ * fhat[..., 2]
+    proj = kdotf * inv_k2
+    c = op.kcoeff
+    uhat = jnp.stack([
+        c * (fhat[..., 0] - proj * KX),
+        c * (fhat[..., 1] - proj * KY),
+        c * (fhat[..., 2] - proj * KZ),
+    ], axis=-1)
+    ugrid = jnp.fft.irfftn(uhat, s=(G, G, G), axes=(0, 1, 2))
+    # Normalization: fhat = (1/h^3) ghat(k) Fhat(k) (unnormalized rfftn of
+    # the spread field); u2(x_g) = sum_k [kcoeff P Fhat e^{eta k^2/8xi^2}]
+    # e^{ikx} = G^3 * irfftn(kcoeff_deconv P fhat) * h^3; the deconvolution
+    # e^{+eta k^2/4xi^2} is already inside kcoeff (built with the (1-eta)
+    # screen). Interpolation contributes the final h^3 (vol_cell there).
+    ugrid = ugrid * (op.base.box ** 3)
+    return se_interpolate(op, pos, ugrid.astype(dtype))
+
+
+def se_rpy_apply(op: SpectralEwaldRPY, pos: Array, forces: Array,
+                 nmat, metric) -> Array:
+    """Full periodic RPY product: real (tables) + wave (FFT) + self."""
+    from mundy_tpu.mobility.ewald import ewald_real_apply
+
+    u = ewald_real_apply(op.base, pos, forces, nmat, metric)
+    u = u + se_wave_apply(op, pos, forces)
+    return u + op.base.self_coeff * forces

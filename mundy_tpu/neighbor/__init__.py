@@ -21,6 +21,7 @@ from mundy_tpu.neighbor.cell_list import (
     PairList,
     need_rebuild,
 )
+from mundy_tpu.neighbor.rows import neighbor_matrix_rows
 
 __all__ = [
     "CellGrid",
@@ -28,6 +29,7 @@ __all__ = [
     "make_cell_grid",
     "build_cell_list",
     "neighbor_matrix",
+    "neighbor_matrix_rows",
     "NeighborMatrix",
     "build_pair_list",
     "PairList",

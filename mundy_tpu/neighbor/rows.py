@@ -306,6 +306,43 @@ def pair_accumulate(
     return force.reshape((ny_pad, nz, R, 3))[:ny]
 
 
+def _candidate_planes(pos: Array, box: tuple, extra_fields: tuple = ()):
+    """Concatenated 9-row candidate component planes.
+
+    Returns (cx, cy, cz, cand_extras), each (ny, nz, 9R): the 9 rolled
+    neighbor rows joined along one axis (ceil(9R/128) lane tiles instead of
+    9 x ceil(R/128)) with periodic y/z image shifts pre-applied per row so
+    downstream kernels only need a one-component x minimum image."""
+    ny, nz = pos.shape[:2]
+    dtype = pos.dtype
+    (lx, ly, lz), (px, py, pz) = box
+    cand_x, cand_y, cand_z = [], [], []
+    cand_extras = [[] for _ in extra_fields]
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            if (dy, dz) == (0, 0):
+                cp = pos
+                ces = extra_fields
+            else:
+                cp = jnp.roll(pos, (-dy, -dz), axis=(0, 1))
+                ces = tuple(jnp.roll(f, (-dy, -dz), axis=(0, 1))
+                            for f in extra_fields)
+            x, y, z = cp[..., 0], cp[..., 1], cp[..., 2]
+            if dy != 0 and py:
+                y = y + _roll_image_shift(ny, dy, ly, dtype)[:, None, None]
+            if dz != 0 and pz:
+                z = z + _roll_image_shift(nz, dz, lz, dtype)[None, :, None]
+            cand_x.append(x)
+            cand_y.append(y)
+            cand_z.append(z)
+            for acc, f in zip(cand_extras, ces):
+                acc.append(f)
+    cx = jnp.concatenate(cand_x, axis=-1)
+    cy_ = jnp.concatenate(cand_y, axis=-1)
+    cz = jnp.concatenate(cand_z, axis=-1)
+    return cx, cy_, cz, tuple(jnp.concatenate(a, axis=-1) for a in cand_extras)
+
+
 def _central_force_chunk(ox, oy, oz, own_extras, cx, cy_, cz, cand_extras,
                          scalar_fn, lx_px):
     """Fused pair force for one y-chunk: central forces f_i = sum_j w*sep.
@@ -368,32 +405,7 @@ def pair_accumulate_central(
         raise ValueError("pair_accumulate_central needs ny,nz >= 5 on "
                          "periodic axes; use pair_accumulate")
 
-    # build concatenated candidate planes with periodic image pre-shifts
-    cand_x, cand_y, cand_z = [], [], []
-    cand_extras = [[] for _ in extra_fields]
-    for dy in (-1, 0, 1):
-        for dz in (-1, 0, 1):
-            if (dy, dz) == (0, 0):
-                cp = pos
-                ces = extra_fields
-            else:
-                cp = jnp.roll(pos, (-dy, -dz), axis=(0, 1))
-                ces = tuple(jnp.roll(f, (-dy, -dz), axis=(0, 1))
-                            for f in extra_fields)
-            x, y, z = cp[..., 0], cp[..., 1], cp[..., 2]
-            if dy != 0 and py:
-                y = y + _roll_image_shift(ny, dy, ly, dtype)[:, None, None]
-            if dz != 0 and pz:
-                z = z + _roll_image_shift(nz, dz, lz, dtype)[None, :, None]
-            cand_x.append(x)
-            cand_y.append(y)
-            cand_z.append(z)
-            for acc, f in zip(cand_extras, ces):
-                acc.append(f)
-    cx = jnp.concatenate(cand_x, axis=-1)  # (ny, nz, 9R)
-    cy_ = jnp.concatenate(cand_y, axis=-1)
-    cz = jnp.concatenate(cand_z, axis=-1)
-    cand_extras = tuple(jnp.concatenate(a, axis=-1) for a in cand_extras)
+    cx, cy_, cz, cand_extras = _candidate_planes(pos, box, extra_fields)
     ox, oy, oz = pos[..., 0], pos[..., 1], pos[..., 2]
     lx_px = (lx, 1.0 / lx) if px else None
 
@@ -426,6 +438,127 @@ def pair_accumulate_central(
 
     force = jax.lax.map(chunk, jnp.arange(n_chunks, dtype=jnp.int32))
     return force.reshape((ny_pad, nz, R, 3))[:ny]
+
+
+def neighbor_matrix_rows(
+    pos: Array,
+    search_radius: float,
+    box_lengths,
+    periodic_axes=(True, True, True),
+    origin=(0.0, 0.0, 0.0),
+    max_neighbors: int = 8,
+    capacity_slack: float = 1.9,
+    hbm_budget_bytes: float = 2.5e9,
+    grid: Optional[RowGrid] = None,
+):
+    """NeighborMatrix built through the row layout — the fast broad phase.
+
+    Replaces neighbor/cell_list.neighbor_matrix for contact-scale cutoffs:
+    that builder gathers (chunk, 27*cap) candidate tables per particle
+    (computed-index gathers cost ~4.3 ns/row on v5e -> 9.9 s at 1M bodies);
+    this one is gather-free — build_rows (one sort + one O(N) scatter), then
+    K argmin-extraction passes over the dense rolled candidate blocks
+    (ties resolved by first-lane argmin, so equal distances extract on
+    successive passes). ~30x faster at 1M. Use the cell-list builder when
+    max_neighbors is large (cost scales linearly in K) or the box has fewer
+    than 5 cells per periodic axis.
+
+    Pair cutoff is 2*search_radius (uniform radii), matching
+    neighbor_matrix's search_radius_i + search_radius_j convention.
+    Returns NeighborMatrix(idx (N,K) with N marking empty, mask, overflow).
+    """
+    from mundy_tpu.neighbor.cell_list import NeighborMatrix
+
+    n = pos.shape[0]
+    dtype = pos.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    k_out = max_neighbors
+    cutoff = 2.0 * float(search_radius)
+    lengths = tuple(float(v) for v in box_lengths)
+    flags = tuple(bool(v) for v in periodic_axes)
+    box = (lengths, flags)
+    if grid is None:
+        low = np.asarray(origin, np.float64)
+        high = low + np.asarray(lengths, np.float64)
+        grid = make_row_grid(low, high, cutoff, n,
+                             capacity_slack=capacity_slack, dtype=dtype)
+    ny, nz, R = grid.ny, grid.nz, grid.row_capacity
+    if (flags[1] and ny < 5) or (flags[2] and nz < 5):
+        raise ValueError("neighbor_matrix_rows needs >=5 cells per periodic "
+                         "y/z axis; use neighbor_matrix")
+
+    state = build_rows(pos, jnp.arange(n, dtype=jnp.int32), grid)
+    gid_f = state.gid.astype(dtype)  # gid rides the plane machinery as f32
+    cx, cy_, cz, (cgid,) = _candidate_planes(state.pos, box, (gid_f,))
+    ox, oy, oz = state.pos[..., 0], state.pos[..., 1], state.pos[..., 2]
+    lx, px = lengths[0], flags[0]
+    cut2 = jnp.asarray(cutoff * cutoff, dtype)
+    lanes = jnp.arange(9 * R, dtype=jnp.int32)
+
+    def extract(oxc, oyc, ozc, ogc, ovc, cxc, cyc, czc, cgc):
+        DX = cxc[..., None, :] - oxc[..., :, None]
+        if px:
+            DX = DX - lx * jnp.round(DX * (1.0 / lx))
+        DY = cyc[..., None, :] - oyc[..., :, None]
+        DZ = czc[..., None, :] - ozc[..., :, None]
+        r2 = DX * DX + DY * DY + DZ * DZ
+        hit = (r2 < cut2) & (cgc[..., None, :] != ogc[..., :, None])
+        count = jnp.sum(hit, axis=-1)
+        r2m = jnp.where(hit, r2, jnp.inf)
+        ids, msk = [], []
+        for _ in range(k_out):
+            amin = jnp.argmin(r2m, axis=-1).astype(jnp.int32)
+            v = jnp.take_along_axis(r2m, amin[..., None], axis=-1)[..., 0]
+            g = jnp.take_along_axis(cgc[..., None, :], amin[..., None],
+                                    axis=-1)[..., 0]
+            ok = jnp.isfinite(v) & ovc
+            ids.append(jnp.where(ok, g.astype(jnp.int32), n))
+            msk.append(ok)
+            r2m = jnp.where(lanes == amin[..., None], jnp.inf, r2m)
+        return (jnp.stack(ids, axis=-1), jnp.stack(msk, axis=-1),
+                jnp.where(ovc, count, 0))
+
+    # ~4 live (R, 9R) blocks in the extraction graph
+    bytes_per_row = 4 * nz * R * 9 * R * itemsize
+    chunk_y = int(hbm_budget_bytes // max(bytes_per_row, 1))
+    if chunk_y >= ny or chunk_y < 1:
+        ids, msk, count = extract(ox, oy, oz, state.gid, state.valid,
+                                  cx, cy_, cz, cgid)
+    else:
+        n_chunks = -(-ny // chunk_y)
+        ny_pad = n_chunks * chunk_y
+
+        def pad(a, fill=0):
+            cfg = [(0, ny_pad - ny)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, cfg, constant_values=fill)
+
+        planes = [pad(a) for a in
+                  (ox, oy, oz, gid_f, cx, cy_, cz, cgid)]
+        gid_p, valid_p = pad(state.gid), pad(state.valid, False)
+
+        def chunk(c):
+            y0 = c * chunk_y
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, y0, chunk_y, 0)  # noqa: E731
+            oxc, oyc, ozc, _gf, cxc, cyc, czc, cgc = (sl(a) for a in planes)
+            return extract(oxc, oyc, ozc, sl(gid_p), sl(valid_p),
+                           cxc, cyc, czc, cgc)
+
+        ids, msk, count = jax.lax.map(chunk,
+                                      jnp.arange(n_chunks, dtype=jnp.int32))
+        ids = ids.reshape((ny_pad, nz, R, k_out))[:ny]
+        msk = msk.reshape((ny_pad, nz, R, k_out))[:ny]
+        count = count.reshape((ny_pad, nz, R))[:ny]
+
+    # scatter row slots back to flat gid order
+    flat_gid = state.gid.reshape(-1)
+    flat_valid = state.valid.reshape(-1)
+    tgt = jnp.where(flat_valid, flat_gid, n)
+    idx = jnp.full((n, k_out), n, jnp.int32).at[tgt].set(
+        ids.reshape(-1, k_out), mode="drop")
+    mask = jnp.zeros((n, k_out), bool).at[tgt].set(
+        msk.reshape(-1, k_out), mode="drop")
+    overflow = state.overflow | jnp.any(count > k_out)
+    return NeighborMatrix(idx=idx, mask=mask, overflow=overflow)
 
 
 def moved_beyond_skin(state: RowState, metric: Metric, skin: float) -> Array:

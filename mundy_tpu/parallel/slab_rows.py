@@ -30,6 +30,7 @@ import numpy as np
 from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mundy_tpu.dynamics import brownian_velocity_keyed
 from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
 from mundy_tpu.geom import periodic
 from mundy_tpu.neighbor.rows import (
@@ -153,11 +154,12 @@ def make_slab_rows_spheres_step(
             f = _forces_local(pos_ext)
             vel = inv_drag * f
             if diffusion > 0:
-                z_flat = jax.random.normal(jax.random.fold_in(key, step),
-                                           (n_total, 3), dtype=dtype)
-                z = z_flat[jnp.minimum(gid, n_total - 1)]
-                z = jnp.where(valid[..., None], z, 0.0)
-                vel = vel + jnp.sqrt(jnp.asarray(2 * diffusion / dt, dtype)) * z
+                # gid-keyed streams: each shard generates noise only for the
+                # entities it owns (O(local), not O(n_total) per shard)
+                bz = brownian_velocity_keyed(
+                    key, step, gid, jnp.asarray(diffusion, dtype), dt,
+                    dtype=dtype)
+                vel = vel + jnp.where(valid[..., None], bz, 0.0)
             new_pos = metric.wrap(pos + jnp.asarray(dt, dtype) * vel)
             new_pos = jnp.where(valid[..., None], new_pos, pos)
             return (new_pos, valid, gid, ref_pos, key, step + 1, done + 1)

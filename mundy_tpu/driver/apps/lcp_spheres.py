@@ -28,10 +28,13 @@ from mundy_tpu.dynamics import brownian_velocity, euler_step
 from mundy_tpu.geom import periodic
 from mundy_tpu.mobility import (
     build_ewald_rpy,
+    build_spectral_ewald,
     ewald_rpy_apply,
     local_drag_mobility,
     rpy_apply_neighbors,
+    se_rpy_apply,
 )
+from mundy_tpu.mobility.spectral import make_se_geometry
 from mundy_tpu.neighbor import (
     build_cell_list,
     build_pair_list,
@@ -55,7 +58,7 @@ class LCPSpheresConfig:
     constraint_buffer: float = 0.2
     max_allowable_overlap: float = 1e-5  # StkNgpLCP main param
     max_col_iterations: int = 10_000
-    hydro: str = "none"  # "none" (dry) | "rpy_neighbors" | "rpy_ewald"
+    hydro: str = "none"  # "none" | "rpy_neighbors" | "rpy_ewald" | "rpy_spectral"
     pair_capacity_per_body: int = 2
     max_neighbors: int = 32
     cell_capacity: int = 16
@@ -65,7 +68,8 @@ class LCPSpheresConfig:
     log_every: int = 10
 
     def __validate__(self):
-        assert self.hydro in ("none", "rpy_neighbors", "rpy_ewald"), self.hydro
+        assert self.hydro in ("none", "rpy_neighbors", "rpy_ewald",
+                              "rpy_spectral"), self.hydro
         assert self.num_spheres > 0 and self.dt > 0
 
 
@@ -97,6 +101,23 @@ class LCPSpheresSim:
                                    (True,) * 3, self.dtype)
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
         self.ewald = None
+        self.spectral = None
+        if c.hydro == "rpy_spectral":
+            # FFT wave sum + density-balanced real-space cutoff (the PVFMM
+            # analog path; scales to 1M bodies where the direct k-sum dies)
+            self.spectral = build_spectral_ewald(
+                c.box_size, c.radius, c.viscosity, tol=1e-4,
+                n_particles=c.num_spheres, dtype=self.dtype)
+            self.se_geom = make_se_geometry(self.spectral, c.num_spheres)
+            self.hydro_search = 0.5 * self.spectral.base.r_cut
+            self.hydro_grid = make_cell_grid(
+                [0, 0, 0], np.array([c.box_size] * 3),
+                2 * self.hydro_search, (True,) * 3, self.dtype)
+            # real-space pair count from density: rho * 4/3 pi r_cut^3 + tail
+            rho = c.num_spheres / c.box_size**3
+            mean_nbrs = rho * 4.19 * self.spectral.base.r_cut**3
+            self.hydro_max_neighbors = int(
+                (mean_nbrs + 6 * _math.sqrt(mean_nbrs + 4) + 8 + 7) // 8 * 8)
         if c.hydro == "rpy_ewald":
             # periodic long-range RPY with its own real-space cutoff (~L/4,
             # balancing k-mode count against real-space pair volume); the
@@ -133,12 +154,16 @@ class LCPSpheresSim:
             clist_ovf = clist.overflow
         pairs = build_pair_list(nmat, self.pair_capacity)
         ovf = clist_ovf | nmat.overflow | pairs.overflow
-        if self.ewald is not None:
+        if self.ewald is not None or self.spectral is not None:
+            hk = (self.hydro_max_neighbors if self.spectral is not None
+                  else 8 * c.max_neighbors)
             hcl = build_cell_list(pos, self.hydro_grid, 4 * c.cell_capacity)
+            # small chunk: the (chunk, 27*cap, 3) candidate buffers of the
+            # wide hydro search otherwise exceed HBM at scale
             hmat = neighbor_matrix(
                 pos, hcl, jnp.asarray(self.hydro_search, self.dtype),
-                metric=self.metric, max_neighbors=8 * c.max_neighbors,
-                chunk=min(c.chunk, max(256, c.num_spheres)),
+                metric=self.metric, max_neighbors=hk,
+                chunk=min(4096, max(256, c.num_spheres)),
             )
             ovf = ovf | hcl.overflow | hmat.overflow
         else:
@@ -190,6 +215,9 @@ class LCPSpheresSim:
         c = self.config
         if c.hydro == "none":
             return lambda f: local_drag_mobility(f, c.radius, c.viscosity)
+        if c.hydro == "rpy_spectral":
+            return lambda f: se_rpy_apply(self.spectral, pos, f, nmat,
+                                          self.metric, geom=self.se_geom)
         if c.hydro == "rpy_ewald":
             return lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat, self.metric)
         return lambda f: rpy_apply_neighbors(
@@ -278,6 +306,13 @@ class LCPSpheresSim:
         return state
 
     def run_block(self, state: LCPSpheresState, n_steps: int) -> LCPSpheresState:
+        if self.spectral is not None:
+            # known issue: the Pallas gridding kernels inside the fused
+            # nested-while run program fault on v5e (device error); the
+            # host-driven per-step program (rebuild via lax.cond) is stable.
+            for _ in range(int(n_steps)):
+                state = self.step(state)
+            return state
         if not hasattr(self, "_run_jit"):
             self._run_jit = jax.jit(self._run_n)
         return self._run_jit(state, jnp.asarray(n_steps, jnp.int32))

@@ -201,17 +201,21 @@ def ewald_wave_apply(op: EwaldRPY, pos: Array, forces: Array,
         kvc = jax.lax.dynamic_slice_in_dim(kv, c * chunk_k, chunk_k)
         kcc = jax.lax.dynamic_slice_in_dim(kc, c * chunk_k, chunk_k)
         k2 = jnp.maximum(jnp.sum(kvc * kvc, axis=1), 1e-30)
-        phase = jnp.dot(pos, kvc.T, precision=jax.lax.Precision.HIGHEST)  # (n, Kc)
+        hi = jax.lax.Precision.HIGHEST
+        phase = jnp.dot(pos, kvc.T, precision=hi)  # (n, Kc)
         cosp = jnp.cos(phase)
         sinp = jnp.sin(phase)
-        # project forces transverse per mode: P f = f - khat (khat . f)
-        fk_c = cosp.T @ forces  # (Kc, 3) MXU
-        fk_s = sinp.T @ forces
+        # project forces transverse per mode: P f = f - khat (khat . f).
+        # All matmuls pinned HIGHEST: the MXU's bf16 default quantizes the
+        # O(1) structure factors to ~0.4% — measured 2.9e-3 relative error
+        # in the wave sum on v5e.
+        fk_c = jnp.dot(cosp.T, forces, precision=hi)  # (Kc, 3) MXU
+        fk_s = jnp.dot(sinp.T, forces, precision=hi)
         kdotc = jnp.sum(kvc * fk_c, axis=1) / k2
         kdots = jnp.sum(kvc * fk_s, axis=1) / k2
         tc = (fk_c - kdotc[:, None] * kvc) * kcc[:, None]
         ts = (fk_s - kdots[:, None] * kvc) * kcc[:, None]
-        u = u + cosp @ tc + sinp @ ts  # (n, 3) MXU
+        u = u + jnp.dot(cosp, tc, precision=hi) + jnp.dot(sinp, ts, precision=hi)
         return u
 
     return jax.lax.fori_loop(0, n_chunks, body, u)

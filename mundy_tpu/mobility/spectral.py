@@ -63,6 +63,7 @@ def build_spectral_ewald(
     tol: float = 1e-4,
     support: Optional[int] = None,
     oversample: float = 1.0,
+    n_particles: Optional[int] = None,
     dtype=jnp.float32,
 ) -> SpectralEwaldRPY:
     """Precompute (host, float64) the SE operator.
@@ -72,10 +73,18 @@ def build_spectral_ewald(
     balance (see below). `support` overrides P; `oversample` widens the grid
     beyond the kmax-resolving minimum.
     """
+    s2 = max(math.log(1.0 / tol), 1.0)
+    if xi is None and r_cut is None and n_particles is not None:
+        # density-scaled splitting: the default xi targets r_cut ~ box/4,
+        # which is right for small boxes but puts ~N/16 bodies inside the
+        # real-space cutoff at scale. A few interparticle spacings is the
+        # O(N)-balanced choice: the grid then grows as G ~ box (FFT O(N)).
+        spacing = box / max(n_particles, 1) ** (1.0 / 3.0)
+        r_cut = min(0.25 * box, 2.5 * spacing)
+        xi = math.sqrt(s2) / r_cut
     base = build_ewald_rpy(box, radius, viscosity, xi=xi, r_cut=r_cut,
                            tol=tol, dtype=dtype)
     xi = base.xi
-    s2 = max(math.log(1.0 / tol), 1.0)
     kmax = 2.0 * xi * math.sqrt(s2)
     # Error balance (Lindbo & Tornberg 2011): window truncation
     # exp(-xi^2 P^2 h^2 / 2 eta) vs gridding alias exp(-eta k_N^2 / 8 xi^2)
@@ -179,12 +188,23 @@ def se_interpolate(op: SpectralEwaldRPY, pos: Array, grid: Array) -> Array:
 
 
 def se_wave_apply(op: SpectralEwaldRPY, pos: Array, forces: Array) -> Array:
-    """Wave-space RPY sum via FFTs: the drop-in replacement for
-    ewald_wave_apply at large N. (N, 3) velocities."""
-    G = op.grid_n
+    """Wave-space RPY sum via FFTs (scatter gridding — small N / reference
+    path; use se_wave_apply_rows at scale). (N, 3) velocities.
+
+    Normalization: fhat = (1/h^3) ghat(k) Fhat(k) (unnormalized rfftn of the
+    spread field); u2(x_g) = G^3 h^3 irfftn(kcoeff P fhat) — the
+    deconvolution e^{+eta k^2/4xi^2} is already inside kcoeff (built with
+    the (1-eta) screen); interpolation contributes the final h^3."""
     dtype = forces.dtype
     grid = se_spread(op, pos, forces)  # (G, G, G, 3)
-    fhat = jnp.fft.rfftn(grid.astype(jnp.float32), axes=(0, 1, 2))  # (G,G,G/2+1,3)
+    ugrid = _k_apply(op, grid)
+    return se_interpolate(op, pos, ugrid.astype(dtype))
+
+
+def _k_apply(op: SpectralEwaldRPY, grid: Array) -> Array:
+    """FFT -> transverse-project + scale each mode -> inverse FFT."""
+    G = op.grid_n
+    fhat = jnp.fft.rfftn(grid.astype(jnp.float32), axes=(0, 1, 2))
     kx, ky, kz = op.kvec
     KX = kx[:, None, None]
     KY = ky[None, :, None]
@@ -200,20 +220,51 @@ def se_wave_apply(op: SpectralEwaldRPY, pos: Array, forces: Array) -> Array:
         c * (fhat[..., 2] - proj * KZ),
     ], axis=-1)
     ugrid = jnp.fft.irfftn(uhat, s=(G, G, G), axes=(0, 1, 2))
-    # Normalization: fhat = (1/h^3) ghat(k) Fhat(k) (unnormalized rfftn of
-    # the spread field); u2(x_g) = sum_k [kcoeff P Fhat e^{eta k^2/8xi^2}]
-    # e^{ikx} = G^3 * irfftn(kcoeff_deconv P fhat) * h^3; the deconvolution
-    # e^{+eta k^2/4xi^2} is already inside kcoeff (built with the (1-eta)
-    # screen). Interpolation contributes the final h^3 (vol_cell there).
-    ugrid = ugrid * (op.base.box ** 3)
-    return se_interpolate(op, pos, ugrid.astype(dtype))
+    return ugrid * (op.base.box ** 3)
+
+
+def make_se_geometry(op: SpectralEwaldRPY, n_particles: int):
+    """Row-gridding geometry for the Pallas spread/interp kernels."""
+    from mundy_tpu.ops.pallas.se_grid import make_se_grid_rows
+
+    return make_se_grid_rows(op.grid_n, op.support, op.base.box,
+                             op.base.xi, op.eta, n_particles)
+
+
+def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,
+                       interpret=None):
+    """Wave-space sum with Pallas row gridding (the at-scale path; the
+    scatter gridding of se_wave_apply costs ~8.6 ns/element and dies beyond
+    ~1e4 bodies). Returns (u, overflow)."""
+    from mundy_tpu.ops.pallas.se_grid import (
+        se_bin_and_windows,
+        se_interp_rows_pre,
+        se_spread_rows_pre,
+    )
+
+    if interpret is None:  # Pallas TPU kernels interpret on CPU backends
+        interpret = jax.default_backend() == "cpu"
+    dtype = forces.dtype
+    pieces = se_bin_and_windows(geom, pos, dtype)
+    grid = se_spread_rows_pre(geom, pieces, forces, interpret)
+    ugrid = _k_apply(op, grid)
+    u = se_interp_rows_pre(geom, pieces, pos.shape[0],
+                           ugrid.astype(dtype), interpret)
+    return u, pieces[1]
 
 
 def se_rpy_apply(op: SpectralEwaldRPY, pos: Array, forces: Array,
-                 nmat, metric) -> Array:
-    """Full periodic RPY product: real (tables) + wave (FFT) + self."""
+                 nmat, metric, geom=None, interpret=None) -> Array:
+    """Full periodic RPY product: real (tables) + wave (FFT) + self.
+
+    Pass `geom` (make_se_geometry) to route gridding through the Pallas row
+    kernels instead of scatter/gather."""
     from mundy_tpu.mobility.ewald import ewald_real_apply
 
     u = ewald_real_apply(op.base, pos, forces, nmat, metric)
-    u = u + se_wave_apply(op, pos, forces)
+    if geom is not None:
+        uw, _ovf = se_wave_apply_rows(op, geom, pos, forces, interpret)
+        u = u + uw
+    else:
+        u = u + se_wave_apply(op, pos, forces)
     return u + op.base.self_coeff * forces

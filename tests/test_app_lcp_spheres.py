@@ -77,3 +77,15 @@ def test_overlaps_resolved_ewald_hydro():
     state = sim.run_block(state, 15)
     assert not bool(state.overflow)
     assert sim.max_overlap(state) < 0.1 * max(o0, 1e-6)
+
+
+def test_overlaps_resolved_spectral_hydro():
+    """FFT spectral-Ewald RPY mobility (Pallas gridding; interpret mode is
+    automatic on the CPU backend) inside the collision LCP."""
+    sim = LCPSpheresSim(cfg(hydro="rpy_spectral", num_steps=15, box_size=14.0,
+                            dt=2e-3))
+    state = sim.init()
+    o0 = sim.max_overlap(state)
+    state = sim.run_block(state, 15)
+    assert not bool(state.overflow)
+    assert sim.max_overlap(state) < 0.1 * max(o0, 1e-6)

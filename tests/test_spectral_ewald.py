@@ -87,3 +87,28 @@ def test_spd_and_symmetry(system):
     a = float(jnp.sum(G * u))
     b = float(jnp.sum(F * uG))
     assert abs(a - b) / max(abs(a), 1e-12) < 1e-4
+
+
+def test_pallas_gridding_matches_scatter(rng):
+    """Row-slab Pallas spread/interp (interpret mode on CPU) vs the
+    scatter/gather reference gridding."""
+    from mundy_tpu.mobility.spectral import se_spread, se_interpolate
+    from mundy_tpu.ops.pallas.se_grid import (
+        make_se_grid_rows, se_spread_rows, se_interp_rows)
+    from mundy_tpu.mobility import build_spectral_ewald
+
+    n = 250
+    pos = jnp.asarray(rng.uniform(0, BOX, (n, 3)))
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+    op = build_spectral_ewald(BOX, A, VISC, tol=1e-4, dtype=jnp.float64)
+    geom = make_se_grid_rows(op.grid_n, op.support, BOX, op.base.xi, op.eta, n)
+    g_ref = se_spread(op, pos, F)
+    g_new, ovf = se_spread_rows(geom, pos, F, interpret=True)
+    assert not bool(ovf)
+    # rows path evaluates the z window on the full slab (slightly more
+    # accurate than the P-point reference); differences sit at the window
+    # truncation level
+    assert float(jnp.abs(g_new - g_ref).max()) < 2e-4 * float(jnp.abs(g_ref).max())
+    u_ref = se_interpolate(op, pos, g_ref)
+    u_new = se_interp_rows(geom, pos, g_ref, interpret=True)
+    assert float(jnp.abs(u_new - u_ref).max()) < 2e-4 * float(jnp.abs(u_ref).max())

@@ -70,19 +70,19 @@ def test_brownian_diffusion_rate():
     must follow <r^2> = 6 D t."""
     D = 0.1
     cfg = small_config(
-        num_spheres=2000,
+        num_spheres=1500,
         box_size=200.0,  # dilute: no collisions
         radius=0.1,
         diffusion_coeff=D,
         dt=1e-3,
-        num_steps=200,
+        num_steps=80,
         skin=0.5,
         chunk=2048,
     )
     sim = SpheresSim(cfg)
     state = sim.init()
     pos0 = np.asarray(state.pos).copy()
-    n_steps = 200
+    n_steps = 80
     state = sim.run_block(state, n_steps)
     # unwrapped displacement via min-image (valid while rms << box/2)
     disp = np.asarray(sim.metric.sep(jnp.asarray(pos0), state.pos))

@@ -216,8 +216,13 @@ class LCPSpheresSim:
         if c.hydro == "none":
             return lambda f: local_drag_mobility(f, c.radius, c.viscosity)
         if c.hydro == "rpy_spectral":
+            # bin once per step: positions are fixed across the O(10-100)
+            # mobility applies of the BBPGD solve
+            from mundy_tpu.ops.pallas.se_grid import se_bin_and_windows
+            pieces = se_bin_and_windows(self.se_geom, pos, self.dtype)
             return lambda f: se_rpy_apply(self.spectral, pos, f, nmat,
-                                          self.metric, geom=self.se_geom)
+                                          self.metric, geom=self.se_geom,
+                                          pieces=pieces)
         if c.hydro == "rpy_ewald":
             return lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat, self.metric)
         return lambda f: rpy_apply_neighbors(

@@ -232,10 +232,14 @@ def make_se_geometry(op: SpectralEwaldRPY, n_particles: int):
 
 
 def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,
-                       interpret=None):
+                       interpret=None, pieces=None):
     """Wave-space sum with Pallas row gridding (the at-scale path; the
     scatter gridding of se_wave_apply costs ~8.6 ns/element and dies beyond
-    ~1e4 bodies). Returns (u, overflow)."""
+    ~1e4 bodies). Returns (u, overflow).
+
+    Pass precomputed `pieces` (se_bin_and_windows) to amortize the binning
+    sort + window evaluation across repeated applies at fixed positions —
+    e.g. the O(10-100) mobility products inside one BBPGD collision solve."""
     from mundy_tpu.ops.pallas.se_grid import (
         se_bin_and_windows,
         se_interp_rows_pre,
@@ -245,7 +249,8 @@ def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,
     if interpret is None:  # Pallas TPU kernels interpret on CPU backends
         interpret = jax.default_backend() == "cpu"
     dtype = forces.dtype
-    pieces = se_bin_and_windows(geom, pos, dtype)
+    if pieces is None:
+        pieces = se_bin_and_windows(geom, pos, dtype)
     grid = se_spread_rows_pre(geom, pieces, forces, interpret)
     ugrid = _k_apply(op, grid)
     u = se_interp_rows_pre(geom, pieces, pos.shape[0],
@@ -254,16 +259,19 @@ def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,
 
 
 def se_rpy_apply(op: SpectralEwaldRPY, pos: Array, forces: Array,
-                 nmat, metric, geom=None, interpret=None) -> Array:
+                 nmat, metric, geom=None, interpret=None,
+                 pieces=None) -> Array:
     """Full periodic RPY product: real (tables) + wave (FFT) + self.
 
     Pass `geom` (make_se_geometry) to route gridding through the Pallas row
-    kernels instead of scatter/gather."""
+    kernels instead of scatter/gather; `pieces` (se_bin_and_windows) to
+    amortize binning across applies at fixed positions."""
     from mundy_tpu.mobility.ewald import ewald_real_apply
 
     u = ewald_real_apply(op.base, pos, forces, nmat, metric)
     if geom is not None:
-        uw, _ovf = se_wave_apply_rows(op, geom, pos, forces, interpret)
+        uw, _ovf = se_wave_apply_rows(op, geom, pos, forces, interpret,
+                                      pieces=pieces)
         u = u + uw
     else:
         u = u + se_wave_apply(op, pos, forces)

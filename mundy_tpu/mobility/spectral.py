@@ -80,7 +80,7 @@ def build_spectral_ewald(
         # real-space cutoff at scale. A few interparticle spacings is the
         # O(N)-balanced choice: the grid then grows as G ~ box (FFT O(N)).
         spacing = box / max(n_particles, 1) ** (1.0 / 3.0)
-        r_cut = min(0.25 * box, 2.5 * spacing)
+        r_cut = min(0.25 * box, 3.5 * spacing)
         xi = math.sqrt(s2) / r_cut
     base = build_ewald_rpy(box, radius, viscosity, xi=xi, r_cut=r_cut,
                            tol=tol, dtype=dtype)

@@ -69,6 +69,18 @@ class RowSpheresSim:
         pos = jax.random.uniform(kp, (c.num_spheres, 3), dtype=self.dtype,
                                  maxval=c.box_size)
         rows = build_rows(pos, jnp.arange(c.num_spheres, dtype=jnp.int32), self.grid)
+        # Right-size the row capacity from the measured max occupancy: the
+        # pair kernel's work scales with R (sublanes) x ceil(9R/128) (lane
+        # tiles), so slack is paid every step. +12.5% margin (occupancy
+        # drifts between rebuilds), 8-aligned, sticky overflow flag catches
+        # later violations.
+        occ = jnp.sum(rows.valid.reshape(-1, self.grid.row_capacity), axis=1)
+        max_occ = int(jax.device_get(jnp.max(occ)))
+        tight = ((int(max_occ * 1.125) + 4 + 7) // 8) * 8
+        if tight < self.grid.row_capacity:
+            self.grid = self.grid.replace(row_capacity=tight)
+            rows = build_rows(pos, jnp.arange(c.num_spheres, dtype=jnp.int32),
+                              self.grid)
         return RowSpheresState(rows=rows, key=ks, step=jnp.asarray(0, jnp.int32),
                                rebuild_count=jnp.asarray(1, jnp.int32),
                                overflow=rows.overflow)

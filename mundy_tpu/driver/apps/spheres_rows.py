@@ -9,7 +9,6 @@ measured irregular-access costs that motivate this design.
 
 from __future__ import annotations
 
-import dataclasses
 import math as _math
 import time
 from typing import Optional

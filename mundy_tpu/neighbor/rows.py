@@ -25,7 +25,7 @@ whenever nx ~ N^(1/3) >> 1.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

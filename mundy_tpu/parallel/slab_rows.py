@@ -22,7 +22,6 @@ migration within the single-chip row rebuild.
 from __future__ import annotations
 
 import math as _math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,6 @@ from mundy_tpu.neighbor.rows import (
     _roll_image_shift,
     build_rows,
     make_row_grid,
-    rows_to_flat,
 )
 
 

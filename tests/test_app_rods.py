@@ -53,12 +53,12 @@ def test_contact_torque_two_rods():
 def test_rotational_diffusion():
     """Free rods: axis decorrelation <u(t).u(0)> = exp(-2 Dr t)."""
     Dr = 0.5
-    sim = RodsSim(cfg(num_rods=2000, box_size=200.0, rot_diffusion_coeff=Dr,
+    sim = RodsSim(cfg(num_rods=1500, box_size=200.0, rot_diffusion_coeff=Dr,
                       dt=1e-3, chunk=2048))
     state = sim.init()
     zhat = jnp.asarray([0.0, 0, 1.0], jnp.float64)
     u0 = np.asarray(quat_rotate(state.quat, zhat))
-    n_steps = 200
+    n_steps = 120
     state = sim.run_block(state, n_steps)
     u1 = np.asarray(quat_rotate(state.quat, zhat))
     corr = (u0 * u1).sum(axis=1).mean()

@@ -104,12 +104,17 @@ def test_bending_force_straightens():
     e0 = bend_energy(st)
     energies = [e0]
     p = pos
-    for _ in range(150):
+
+    @jax.jit
+    def jit_step(st, p):
         f, tau = rod_internal_forces(st, p, rest_curvature=jnp.zeros((2, 3)),
                                      bend_modulus=1.0, stretch_stiffness=50.0,
                                      rest_length=1.0)
         p = p + 0.002 * f
-        st = update_rod_edges(st, p, twist_rate=2.0 * tau, dt=0.002)
+        return update_rod_edges(st, p, twist_rate=2.0 * tau, dt=0.002), p
+
+    for _ in range(150):
+        st, p = jit_step(st, p)
         energies.append(bend_energy(st))
     e1 = energies[-1]
     assert e1 < 0.1 * e0

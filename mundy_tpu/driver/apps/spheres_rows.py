@@ -47,15 +47,24 @@ class RowSpheresState:
 class RowSpheresSim:
     """Assembled row-engine simulation for SpheresConfig."""
 
-    def __init__(self, config: SpheresConfig, capacity_slack: float = 1.9):
+    def __init__(self, config: SpheresConfig, capacity_slack: float = 1.9,
+                 use_pallas: Optional[bool] = None):
         self.config = c = config
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)
         self.metric = periodic(box, dtype=self.dtype)
         self.cutoff = 2 * c.radius + c.skin
+        # align=8: nz % 8 == 0 enables the Pallas half-stencil kernel
+        # (also measured slightly faster for the XLA path at 1M)
         self.grid = make_row_grid([0, 0, 0], box, self.cutoff, c.num_spheres,
-                                  capacity_slack=capacity_slack, dtype=self.dtype)
+                                  capacity_slack=capacity_slack,
+                                  dtype=self.dtype, align=8)
         self.box_static = orthorhombic_lengths(self.metric)
+        if use_pallas is None:
+            # the Mosaic kernel needs a real TPU (or interpret mode) + f32
+            use_pallas = (jax.default_backend() == "tpu"
+                          and self.dtype == jnp.float32)
+        self.use_pallas = use_pallas
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
         self.e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
                                       c.poissons_ratio, c.poissons_ratio)
@@ -93,6 +102,16 @@ class RowSpheresSim:
 
         g = rows.pos.shape
         use_central = (self.box_static is not None and g[0] >= 5 and g[1] >= 5)
+        if use_central and self.use_pallas and g[1] % 8 == 0:
+            # Pallas half-stencil: each off-row pair evaluated ONCE with both
+            # Newton's-third-law reductions held in VMEM — 16.5 vs 26.0 ms
+            # at 1M bodies (the XLA 9-stencil below recomputes every off-row
+            # pair from both sides because a dual-axis reduction would
+            # materialize the W*D blocks in HBM)
+            from mundy_tpu.ops.pallas.row_central import row_hertzian_forces_sym
+            return row_hertzian_forces_sym(
+                rows.pos, (c.box_size,) * 3, c.radius, c.youngs_modulus,
+                c.poissons_ratio)
         if use_central:
             # Hertzian repulsion is central: f_i = sum_j w * (x_j - x_i) with
             # w = -mag/d <= 0 -> mask-free fused row kernel (sentinel slots
@@ -104,6 +123,11 @@ class RowSpheresSim:
                 mag = hertzian_pair_force(d - two_r, r_eff, e_eff)
                 return -mag * rinv
 
+            # NOTE: pair_accumulate_central_sym (half stencil) does ~0.6x the
+            # elementwise work but is SLOWER under XLA (18.9 vs 27.8 steps/s
+            # at 1M): the dual-axis reduction forces the (R,5R) W*D blocks to
+            # materialize in HBM. The win needs the Pallas kernel's
+            # in-register dual accumulation (ops/pallas/row_hertz.py).
             return pair_accumulate_central(rows, self.box_static, scalar_fn)
 
         def pair_fn(sep, r2, mask):
@@ -209,25 +233,24 @@ class RowSpheresSim:
             out = jnp.zeros(sep.shape, sep.dtype)
             return out.at[..., 0].set(ov)
 
-        # max via accumulate-sum isn't right; do a direct pass
-        rows = state.rows
-        best = 0.0
-        import numpy as _np
+        # max via accumulate-sum isn't right; do a direct (jitted) pass
+        def _worst(pos, valid):
+            R = pos.shape[2]
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+            worst = jnp.asarray(0.0, self.dtype)
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    cand_pos = jnp.roll(pos, (-dy, -dz), axis=(0, 1)) if (dy, dz) != (0, 0) else pos
+                    cand_valid = jnp.roll(valid, (-dy, -dz), axis=(0, 1)) if (dy, dz) != (0, 0) else valid
+                    sep = self.metric.sep(pos[..., :, None, :], cand_pos[..., None, :, :])
+                    d = jnp.linalg.norm(sep, axis=-1)
+                    mask = valid[..., :, None] & cand_valid[..., None, :]
+                    if (dy, dz) == (0, 0):
+                        mask = mask & (slot_ids[..., :, None] != slot_ids[..., None, :])
+                    ov = jnp.where(mask, two_r - d, -jnp.inf)
+                    worst = jnp.maximum(worst, jnp.max(ov))
+            return worst
 
-        pos = rows.pos
-        valid = rows.valid
-        R = pos.shape[2]
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
-        worst = jnp.asarray(0.0, self.dtype)
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                cand_pos = jnp.roll(pos, (-dy, -dz), axis=(0, 1)) if (dy, dz) != (0, 0) else pos
-                cand_valid = jnp.roll(valid, (-dy, -dz), axis=(0, 1)) if (dy, dz) != (0, 0) else valid
-                sep = self.metric.sep(pos[..., :, None, :], cand_pos[..., None, :, :])
-                d = jnp.linalg.norm(sep, axis=-1)
-                mask = valid[..., :, None] & cand_valid[..., None, :]
-                if (dy, dz) == (0, 0):
-                    mask = mask & (slot_ids[..., :, None] != slot_ids[..., None, :])
-                ov = jnp.where(mask, two_r - d, -jnp.inf)
-                worst = jnp.maximum(worst, jnp.max(ov))
-        return float(worst)
+        if not hasattr(self, "_worst_jit"):
+            self._worst_jit = jax.jit(_worst)
+        return float(self._worst_jit(state.rows.pos, state.rows.valid))

@@ -60,10 +60,16 @@ def main():
     # warm up / compile
     state = sim.run_block(state, 3)
     jax.block_until_ready(state)
+    pos_of = (sim.positions if hasattr(sim, "positions")
+              else (lambda s: s.pos))
+    float(jnp.sum(pos_of(state)[0]))
 
+    # axon note: block_until_ready returns before the program finishes on
+    # the tunneled runtime — a scalar readback is the only reliable fence,
+    # so the timed region ends with one.
     t0 = time.perf_counter()
     state = sim.run_block(state, steps)
-    jax.block_until_ready(state)
+    float(jnp.sum(pos_of(state)[0]))
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = steps / elapsed

@@ -32,17 +32,23 @@ from mundy_tpu.neighbor.cell_list import PairList
 class CollisionSetup(NamedTuple):
     """Per-pair constraint data (capacity-padded, mask in `pairs.mask`).
 
-    `j_perm` (optional, (C,) int32): permutation sorting pairs by j with
-    padded slots last — computed once per pair-list rebuild. When present,
-    force assembly uses sorted segment-sums on both sides instead of
-    scatter-adds (scatters cost ~7-10 ns/element on TPU; sorted segment
-    sums are the cheap path).
+    Two assembly layouts:
+    - ORDERED (preferred): `pairs` from build_pair_list_ordered — every
+      contact present in both directions, i sorted — and `windows` the
+      rebuild-time block structure; D gamma is ONE blocked segmented
+      reduction (ops/segments.py; 6x over scatter at 1M on v5e). The
+      duplicated system is exactly equivalent: gamma stays symmetric under
+      BBPGD because the gradient is (sdot is identical for (i,j) and
+      (j,i)), and each ordered pair pushes only its own i.
+    - UNORDERED fallback: unique i < j pairs; two-sided scatter-add
+      assembly (optionally segment sums via `j_perm`).
     """
 
     pairs: PairList
     normals: Array  # (C, 3) unit, from body i toward body j
     sep0: Array  # (C,) signed separation at assembly time
     j_perm: Optional[Array] = None
+    windows: Optional[object] = None  # SegmentWindows for the ordered layout
 
 
 def pair_j_permutation(pairs: PairList, n_bodies: int) -> Array:
@@ -57,6 +63,7 @@ def collision_setup_spheres(
     pairs: PairList,
     metric: Optional[Metric] = None,
     j_perm: Optional[Array] = None,
+    windows: Optional[object] = None,
 ) -> CollisionSetup:
     """Signed separation + contact normal per pair.
 
@@ -70,7 +77,8 @@ def collision_setup_spheres(
     normals = sep / d[..., None]
     radius = jnp.broadcast_to(radius, pos.shape[:1])
     sep0 = d - radius[pairs.i] - radius[pairs.j]
-    return CollisionSetup(pairs=pairs, normals=normals, sep0=sep0, j_perm=j_perm)
+    return CollisionSetup(pairs=pairs, normals=normals, sep0=sep0,
+                          j_perm=j_perm, windows=windows)
 
 
 def collision_forces(setup: CollisionSetup, gamma: Array, n_bodies: int) -> Array:
@@ -83,6 +91,12 @@ def collision_forces(setup: CollisionSetup, gamma: Array, n_bodies: int) -> Arra
     """
     g = jnp.where(setup.pairs.mask, gamma, 0.0)
     gn = g[:, None] * setup.normals
+    if setup.windows is not None:
+        # ordered layout: pair (i, j) pushes -gamma n on i only; the (j, i)
+        # duplicate delivers +gamma n to j. One blocked segmented reduction.
+        from mundy_tpu.ops.segments import segment_sum_sorted_blocked
+        return segment_sum_sorted_blocked(-gn, setup.pairs.i, n_bodies,
+                                          setup.windows)
     if setup.j_perm is not None:
         i_ids = jnp.where(setup.pairs.mask, setup.pairs.i, n_bodies)
         f_i = jax.ops.segment_sum(gn, i_ids, num_segments=n_bodies,

@@ -22,7 +22,7 @@ import numpy as np
 from jax import Array
 
 from mundy_tpu.constraints import collision_setup_spheres, resolve_collisions
-from mundy_tpu.constraints.collision import pair_j_permutation
+from mundy_tpu.ops.segments import SegmentWindows, segment_windows
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity, euler_step
 from mundy_tpu.geom import periodic
@@ -37,7 +37,7 @@ from mundy_tpu.mobility import (
 from mundy_tpu.mobility.spectral import make_se_geometry
 from mundy_tpu.neighbor import (
     build_cell_list,
-    build_pair_list,
+    build_pair_list_ordered,
     make_cell_grid,
     neighbor_matrix,
     neighbor_matrix_rows,
@@ -82,7 +82,7 @@ class LCPSpheresState:
     nmat: object  # NeighborMatrix (skin-buffered)
     pairs: object  # PairList (skin-buffered constraint candidates)
     hydro_nmat: object  # NeighborMatrix for hydrodynamics (wider cutoff)
-    j_perm: Array  # (C,) pairs sorted by j (segment-sum assembly)
+    seg_starts: Array  # (nb,) first-pair index per body block (assembly)
     ref_pos: Array  # positions at last rebuild
     rebuild_count: Array
     lcp_iters: Array  # () int32 — last solve iterations
@@ -100,6 +100,8 @@ class LCPSpheresSim:
         self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
                                    (True,) * 3, self.dtype)
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
+        self.seg_block = 1024  # bodies per assembly block
+        self.seg_window = max(2048, 8 * self.seg_block)
         self.ewald = None
         self.spectral = None
         if c.hydro == "rpy_spectral":
@@ -152,8 +154,10 @@ class LCPSpheresSim:
                 chunk=min(c.chunk, max(256, c.num_spheres)),
             )
             clist_ovf = clist.overflow
-        pairs = build_pair_list(nmat, self.pair_capacity)
-        ovf = clist_ovf | nmat.overflow | pairs.overflow
+        pairs = build_pair_list_ordered(nmat, self.pair_capacity)
+        seg = segment_windows(pairs.i, c.num_spheres, self.seg_block,
+                              self.seg_window)
+        ovf = clist_ovf | nmat.overflow | pairs.overflow | seg.overflow
         if self.ewald is not None or self.spectral is not None:
             hk = (self.hydro_max_neighbors if self.spectral is not None
                   else 8 * c.max_neighbors)
@@ -168,7 +172,7 @@ class LCPSpheresSim:
             ovf = ovf | hcl.overflow | hmat.overflow
         else:
             hmat = nmat
-        return nmat, pairs, hmat, ovf
+        return nmat, pairs, hmat, seg.starts, ovf
 
     def init(self, key: Optional[Array] = None) -> LCPSpheresState:
         c = self.config
@@ -177,25 +181,33 @@ class LCPSpheresSim:
         kpos, kstate = jax.random.split(key)
         pos = jax.random.uniform(kpos, (c.num_spheres, 3), dtype=self.dtype,
                                  maxval=c.box_size)
-        nmat, pairs, hmat, ovf = self._broad_phase(pos)
+        nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
         # Right-size the pair capacity: every BBPGD iteration scatters and
         # gathers over the FULL capacity (~9 ns/row on v5e), so slack is paid
         # 2x per iteration. Measure the real candidate count once at init and
         # shrink to 1.6x that (+margin); the sticky overflow flag catches
         # configs that densify later.
-        count = int(jax.device_get(jnp.sum(pairs.mask)))
+        count = int(jax.device_get(pairs.num_pairs))  # true count (may exceed capacity)
         tight = int(count * 1.6) + 512
         tight = ((tight + 1023) // 1024) * 1024
-        if tight < self.pair_capacity:
-            self.pair_capacity = tight
-            nmat, pairs, hmat, ovf = self._broad_phase(pos)
+        resize = tight != self.pair_capacity
+        self.pair_capacity = tight
+        if resize:  # windows need the un-truncated pair list
+            nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
+        # Right-size the assembly window from the measured per-block maximum
+        counts = np.diff(np.append(np.asarray(jax.device_get(seg_starts)),
+                                   int(jax.device_get(pairs.num_pairs))))
+        w_tight = (int(counts.max() * 1.5) + 511) // 512 * 512
+        if w_tight != self.seg_window:
+            self.seg_window = w_tight
+            nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
         return LCPSpheresState(
             pos=pos,
             gamma=jnp.zeros((self.pair_capacity,), self.dtype),
             key=kstate,
             step=jnp.asarray(0, jnp.int32),
             nmat=nmat, pairs=pairs, hydro_nmat=hmat,
-            j_perm=pair_j_permutation(pairs, c.num_spheres),
+            seg_starts=seg_starts,
             ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32),
             lcp_iters=jnp.asarray(0, jnp.int32),
@@ -204,9 +216,9 @@ class LCPSpheresSim:
         )
 
     def _rebuild(self, state: LCPSpheresState) -> LCPSpheresState:
-        nmat, pairs, hmat, ovf = self._broad_phase(state.pos)
+        nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(state.pos)
         return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
-                             j_perm=pair_j_permutation(pairs, self.config.num_spheres),
+                             seg_starts=seg_starts,
                              ref_pos=state.pos,
                              rebuild_count=state.rebuild_count + 1,
                              overflow=state.overflow | ovf)
@@ -242,11 +254,15 @@ class LCPSpheresSim:
         nmat = state.nmat
         overflow = state.overflow
 
-        # NOTE: scatter-add assembly measured faster than the sorted
-        # segment-sum alternative on v5e (854 vs 1231 ms/step at the same
-        # config); keep j_perm unused here but available in CollisionSetup.
+        # ordered-pair assembly: one blocked segmented reduction per
+        # D-apply (ops/segments.py; 6x over the scatter-add path at 1M)
+        windows = SegmentWindows(starts=state.seg_starts,
+                                 block_bodies=self.seg_block,
+                                 window=self.seg_window,
+                                 overflow=jnp.asarray(False))
         setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
-                                        pairs, metric=self.metric)
+                                        pairs, metric=self.metric,
+                                        windows=windows)
         mobility = self._mobility(pos, state.hydro_nmat)
 
         # warm start from previous multipliers (same slot layout only if the

@@ -18,6 +18,7 @@ from mundy_tpu.neighbor.cell_list import (
     neighbor_matrix,
     NeighborMatrix,
     build_pair_list,
+    build_pair_list_ordered,
     PairList,
     need_rebuild,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "neighbor_matrix_rows",
     "NeighborMatrix",
     "build_pair_list",
+    "build_pair_list_ordered",
     "PairList",
     "need_rebuild",
 ]

@@ -289,6 +289,41 @@ def build_pair_list(nmat: NeighborMatrix, capacity: int) -> PairList:
     )
 
 
+def build_pair_list_ordered(nmat: NeighborMatrix, capacity: int) -> PairList:
+    """ALL ordered (i, j) neighbor entries compacted from a neighbor matrix,
+    sorted by i (row-major flatten order), padded slots carrying i = j = N.
+
+    Each unordered contact appears twice — (i, j) and (j, i) — which makes
+    one-sided force assembly a single sorted segmented reduction
+    (ops/segments.py) instead of a two-sided scatter: the TPU-native layout
+    for the LCP collision pipeline. Padded i = j = N keeps the array sorted
+    for the window binary search.
+
+    Requires the neighbor matrix to be FRONT-PACKED (valid entries occupy
+    the first count_i lanes of each row — true for both builders, which
+    compact rows in hit order): compaction then needs no scatter at all —
+    jnp.repeat expands row ids by their counts and a (C,)-row gather pulls
+    the neighbor ids (34 vs 443 ms at 1M x K=12 on v5e; scatter costs
+    ~90 ns/row regardless of how many rows actually write).
+    """
+    n, k = nmat.idx.shape
+    cnt = jnp.sum(nmat.mask, axis=1, dtype=jnp.int32)
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cnt, dtype=jnp.int32)])
+    num = base[n]
+    ii = jnp.repeat(jnp.arange(n, dtype=jnp.int32), cnt,
+                    total_repeat_length=capacity)
+    pos_in = jnp.arange(capacity, dtype=jnp.int32)
+    valid = pos_in < num
+    ii = jnp.where(valid, ii, n)
+    ii_safe = jnp.minimum(ii, n - 1)
+    lane = jnp.where(valid, pos_in - base[ii_safe], 0)
+    jj = jnp.where(valid, nmat.idx[ii_safe, lane].astype(jnp.int32), n)
+    return PairList(
+        i=ii, j=jj, mask=valid, num_pairs=num, overflow=num > capacity
+    )
+
+
 def need_rebuild(pos: Array, ref_pos: Array, skin: Array,
                  metric: Optional[Metric] = None) -> Array:
     """True when any particle moved more than skin/2 since the list was built.

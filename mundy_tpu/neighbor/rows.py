@@ -600,6 +600,7 @@ def neighbor_matrix_rows(
     capacity_slack: float = 1.9,
     hbm_budget_bytes: float = 2.5e9,
     grid: Optional[RowGrid] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """NeighborMatrix built through the row layout — the fast broad phase.
 
@@ -631,13 +632,36 @@ def neighbor_matrix_rows(
         low = np.asarray(origin, np.float64)
         high = low + np.asarray(lengths, np.float64)
         grid = make_row_grid(low, high, cutoff, n,
-                             capacity_slack=capacity_slack, dtype=dtype)
+                             capacity_slack=capacity_slack, dtype=dtype,
+                             align=8)
     ny, nz, R = grid.ny, grid.nz, grid.row_capacity
     if (flags[1] and ny < 5) or (flags[2] and nz < 5):
         raise ValueError("neighbor_matrix_rows needs >=5 cells per periodic "
                          "y/z axis; use neighbor_matrix")
 
     state = build_rows(pos, jnp.arange(n, dtype=jnp.int32), grid)
+
+    if use_pallas is None:
+        # 3.1x at 1M, K=12 (1470 -> 473 ms full broad phase, readback-forced
+        # timing): the K extraction passes stay VMEM-resident instead of K
+        # HBM round trips. The remaining costs are build_rows (~67 ms) and
+        # the slot->gid unsort scatter (~155 ms).
+        use_pallas = (jax.default_backend() == "tpu" and dtype == jnp.float32
+                      and all(flags) and ny >= 5 and nz >= 5 and nz % 8 == 0)
+    if use_pallas:
+        from mundy_tpu.ops.pallas.row_extract import row_neighbor_extract
+        ids4, cnt = row_neighbor_extract(state.pos, state.gid, lengths,
+                                         cutoff, k_out)
+        flat_gid = state.gid.reshape(-1)
+        flat_valid = state.valid.reshape(-1)
+        tgt = jnp.where(flat_valid, flat_gid, n)
+        idx = jnp.full((n, k_out), n, jnp.int32).at[tgt].set(
+            ids4.reshape(-1, k_out), mode="drop")
+        idx = jnp.where(idx < 0, n, idx)
+        mask = idx < n
+        overflow = state.overflow | jnp.any(
+            jnp.where(state.valid, cnt, 0) > k_out)
+        return NeighborMatrix(idx=idx, mask=mask, overflow=overflow)
     gid_f = state.gid.astype(dtype)  # gid rides the plane machinery as f32
     cx, cy_, cz, (cgid,) = _candidate_planes(state.pos, box, (gid_f,))
     ox, oy, oz = state.pos[..., 0], state.pos[..., 1], state.pos[..., 2]

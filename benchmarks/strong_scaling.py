@@ -45,7 +45,9 @@ def run_one(n_devices: int, npart: int, steps: int, box: float) -> dict:
     for s in range(1, steps + 1):
         pos, active, gid, ovf, _ = step_fn(pos, active, gid, ovf, key,
                                            jnp.asarray(s, jnp.int32))
-    jax.block_until_ready(pos)
+    # scalar readback: block_until_ready returns early on the tunneled
+    # axon runtime; only a device->host transfer is a reliable fence
+    float(jnp.ravel(pos)[0])
     elapsed = time.perf_counter() - t0
     return {
         "n_devices": n_devices,

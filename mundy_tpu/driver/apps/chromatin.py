@@ -33,10 +33,15 @@ from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity
 from mundy_tpu.forces import fenewca_spring_forces, hookean_spring_forces
 from mundy_tpu.forces.contact import hertzian_contact_forces
-from mundy_tpu.geom import free_space
+from mundy_tpu.geom import free_space, periodic
 from mundy_tpu.kmc import BINDING_STATE, binding_rate_gaussian, crosslinker_kmc_step
 from mundy_tpu.math.spacefill import hilbert_positions_and_directors
-from mundy_tpu.mobility import local_drag_mobility, rpy_apply_neighbors
+from mundy_tpu.mobility import (
+    build_spectral_ewald,
+    local_drag_mobility,
+    rpy_apply_neighbors,
+    se_rpy_apply,
+)
 from mundy_tpu.neighbor import build_cell_list, make_cell_grid, neighbor_matrix
 
 
@@ -65,7 +70,11 @@ class ChromatinConfig:
     periphery_stiffness: float = 200.0
     viscosity: float = 1.0
     diffusion_coeff: float = 0.1
-    hydro: str = "none"  # "none" | "rpy_neighbors"
+    hydro: str = "none"  # "none" | "rpy_neighbors" | "rpy_spectral"
+    # periodic box edge; 0 = free space. Required for "rpy_spectral" (the
+    # FFT spectral-Ewald Stokes path — the at-scale PVFMM-analog mobility,
+    # BASELINE config #5)
+    box_size: float = 0.0
     dt: float = 1e-4
     num_steps: int = 100
     skin: float = 0.4
@@ -77,7 +86,11 @@ class ChromatinConfig:
     log_every: int = 100
 
     def __validate__(self):
-        assert self.hydro in ("none", "rpy_neighbors")
+        assert self.hydro in ("none", "rpy_neighbors", "rpy_spectral")
+        if self.hydro == "rpy_spectral":
+            assert self.box_size > 0, "rpy_spectral needs a periodic box_size"
+        assert self.periphery_radius == 0 or self.box_size == 0, \
+            "periphery confinement and a periodic box are exclusive"
         assert self.num_crosslinkers >= 0
 
 
@@ -90,6 +103,7 @@ class ChromatinState:
     key: Array
     step: Array
     nmat: object
+    hydro_nmat: object
     ref_pos: Array
     rebuild_count: Array
     overflow: Array
@@ -101,14 +115,54 @@ class ChromatinSim:
         self.dtype = jnp.dtype(c.dtype)
         self.N = c.num_chains * c.beads_per_chain
         self.X = c.num_crosslinkers
-        # free-space domain sized to hold the chains (confinement optional)
-        extent = self._domain_extent()
-        self.domain = extent
-        self.metric = free_space(self.dtype)
+        # free-space domain sized to hold the chains (confinement optional),
+        # or a periodic box when box_size > 0 (the spectral-hydro mode)
+        self.periodic = c.box_size > 0
         self.search_radius = c.bead_radius + 0.5 * c.skin
-        self.grid = make_cell_grid(-extent * np.ones(3), extent * np.ones(3),
-                                   2 * self.search_radius, (False,) * 3, self.dtype)
+        if self.periodic:
+            extent = 0.5 * c.box_size
+            self.metric = periodic(np.array([c.box_size] * 3), dtype=self.dtype)
+            self.grid = make_cell_grid([0, 0, 0], np.array([c.box_size] * 3),
+                                       2 * self.search_radius, (True,) * 3,
+                                       self.dtype)
+        else:
+            extent = self._domain_extent()
+            self.metric = free_space(self.dtype)
+            self.grid = make_cell_grid(-extent * np.ones(3), extent * np.ones(3),
+                                       2 * self.search_radius, (False,) * 3,
+                                       self.dtype)
+        self.domain = extent
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.bead_radius)
+        self.spectral = None
+        if c.hydro == "rpy_spectral":
+            from mundy_tpu.mobility.spectral import make_se_geometry
+            # r_cut from the LOCAL bead spacing (2r: chains are touching
+            # bead strings), not the box-mean spacing — clustered systems
+            # otherwise put O(1000) bodies inside the real-space cutoff
+            r_cut = min(0.25 * c.box_size, 3.5 * 2.0 * c.bead_radius)
+            s2 = _math.sqrt(max(_math.log(1e4), 1.0))
+            self.spectral = build_spectral_ewald(
+                c.box_size, c.bead_radius, c.viscosity, tol=1e-4,
+                xi=s2 / r_cut, r_cut=r_cut, dtype=self.dtype)
+            self.se_geom = make_se_geometry(self.spectral, self.N)
+            self.hydro_search = 0.5 * self.spectral.base.r_cut
+            self.hydro_grid = make_cell_grid(
+                [0, 0, 0], np.array([c.box_size] * 3),
+                2 * self.hydro_search, (True,) * 3, self.dtype)
+            # chains of TOUCHING beads cluster far beyond the box-mean
+            # density — size hydro capacities from the close-packing bound
+            # (beads cannot pack denser than ~0.74 of volume at spacing 2r)
+            r_cut = self.spectral.base.r_cut
+            d = 2.0 * c.bead_radius
+            pack_nbrs = 0.74 * 4.19 * (r_cut / d) ** 3
+            self.hydro_max_neighbors = min(
+                int((pack_nbrs + 6 * _math.sqrt(pack_nbrs + 4) + 8 + 7)
+                    // 8 * 8),
+                ((self.N + 7) // 8) * 8)
+            cell_edge = 2 * self.hydro_search
+            pack_cell = 0.74 * (cell_edge / d) ** 3
+            self.hydro_cell_capacity = min(
+                int(pack_cell + 6 * _math.sqrt(pack_cell + 4) + 8), self.N)
 
         # backbone connectivity (i, i+1 within each chain)
         bead = np.arange(self.N)
@@ -143,16 +197,27 @@ class ChromatinSim:
         spacing = 2.0 * c.bead_radius  # touching beads along the curve
         chains = []
         rng = np.random.default_rng(c.seed)
+        # chains on a non-overlapping grid of cells (random placement piles
+        # chains on top of each other and overflows every capacity bound)
+        n_side = max(int(np.ceil(c.num_chains ** (1.0 / 3.0))), 1)
+        cell = 2.0 * self.domain / n_side
         for ci in range(c.num_chains):
             pts, _ = hilbert_positions_and_directors(c.beads_per_chain,
                                                      side_length=spacing)
             pts = pts[: c.beads_per_chain]
-            offset = (rng.uniform(-0.3, 0.3, 3) * self.domain).clip(
-                -0.5 * self.domain, 0.5 * self.domain
-            )
+            cx = ci % n_side
+            cy = (ci // n_side) % n_side
+            cz = ci // (n_side * n_side)
+            center_cell = (np.array([cx, cy, cz]) + 0.5) * cell - self.domain
+            footprint = pts.max(axis=0) - pts.min(axis=0)
+            jitter_room = np.maximum(0.5 * (cell - footprint.max()) - spacing, 0.0)
+            offset = center_cell + rng.uniform(-1, 1, 3) * 0.5 * jitter_room
             center = pts.mean(axis=0)
             chains.append(pts - center + offset)
         pos = jnp.asarray(np.concatenate(chains), self.dtype)
+        if self.periodic:
+            # map the centered free-space layout into [0, box) and wrap
+            pos = self.metric.wrap(pos + 0.5 * c.box_size)
         if c.periphery_radius > 0:
             # pull everything inside the periphery
             r = jnp.linalg.norm(pos, axis=1, keepdims=True)
@@ -163,24 +228,40 @@ class ChromatinSim:
         home = jnp.asarray(
             rng.integers(0, self.N, size=max(self.X, 1))[: self.X], jnp.int32
         )
-        nmat, ovf = self._build_nmat(pos)
+        nmat, hmat, ovf = self._build_nmat(pos)
         return ChromatinState(
             pos=pos, xl_home=home,
             xl_state=jnp.full((self.X,), BINDING_STATE.LEFT_BOUND, jnp.int32),
             xl_bound_to=jnp.full((self.X,), -1, jnp.int32),
-            key=ks, step=jnp.asarray(0, jnp.int32), nmat=nmat, ref_pos=pos,
+            key=ks, step=jnp.asarray(0, jnp.int32), nmat=nmat,
+            hydro_nmat=hmat, ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf,
         )
 
     def _build_nmat(self, pos: Array):
         c = self.config
+        metric = self.metric if self.periodic else None
         clist = build_cell_list(pos, self.grid, c.cell_capacity)
         nmat = neighbor_matrix(
             pos, clist, jnp.asarray(self.search_radius, self.dtype),
-            metric=None, max_neighbors=c.max_neighbors,
+            metric=metric, max_neighbors=c.max_neighbors,
             chunk=min(c.chunk, max(256, self.N)), exclude=self.exclude,
         )
-        return nmat, clist.overflow | nmat.overflow
+        ovf = clist.overflow | nmat.overflow
+        if self.spectral is not None:
+            hcl = build_cell_list(pos, self.hydro_grid,
+                                  self.hydro_cell_capacity)
+            # candidate buffer is (chunk, 27*cap, 3): bound it to ~6M rows
+            chunk_h = max(256, int(6e6 // (27 * self.hydro_cell_capacity)))
+            hmat = neighbor_matrix(
+                pos, hcl, jnp.asarray(self.hydro_search, self.dtype),
+                metric=self.metric, max_neighbors=self.hydro_max_neighbors,
+                chunk=min(chunk_h, max(256, self.N)),
+            )
+            ovf = ovf | hcl.overflow | hmat.overflow
+        else:
+            hmat = nmat
+        return nmat, hmat, ovf
 
     # ------------------------------------------------------------------
     def _kmc(self, state: ChromatinState) -> ChromatinState:
@@ -192,7 +273,9 @@ class ChromatinSim:
         home_pos = pos[state.xl_home]  # (X, 3)
         cand_idx = jnp.minimum(state.nmat.idx[state.xl_home], self.N - 1)  # (X, K)
         cand_mask = state.nmat.mask[state.xl_home]
-        dr = jnp.linalg.norm(pos[cand_idx] - home_pos[:, None, :], axis=-1)
+        sep = (self.metric.sep(home_pos[:, None, :], pos[cand_idx])
+               if self.periodic else pos[cand_idx] - home_pos[:, None, :])
+        dr = jnp.linalg.norm(sep, axis=-1)
         rates = binding_rate_gaussian(dr, c.crosslinker_k,
                                       c.crosslinker_rest_length, c.kt,
                                       c.binding_rate)
@@ -207,17 +290,20 @@ class ChromatinSim:
         c = self.config
         pos = state.pos
         sigma = 2.0 * c.bead_radius
+        metric = self.metric if self.periodic else None
         f = fenewca_spring_forces(
             pos, self.bond_i, self.bond_j,
             jnp.asarray(c.backbone_k, self.dtype),
             jnp.asarray(c.backbone_rmax * sigma, self.dtype),
             jnp.asarray(sigma, self.dtype),
             jnp.asarray(c.wca_epsilon, self.dtype),
+            metric=metric,
         )
         f = f + hertzian_contact_forces(
             pos, jnp.asarray(c.bead_radius, self.dtype),
             jnp.asarray(c.youngs_modulus, self.dtype),
             jnp.asarray(c.poissons_ratio, self.dtype), state.nmat,
+            metric=metric,
         )
         if self.X > 0:
             doubly = state.xl_state == BINDING_STATE.DOUBLY_BOUND
@@ -225,7 +311,7 @@ class ChromatinSim:
                 pos, state.xl_home, jnp.maximum(state.xl_bound_to, 0),
                 jnp.asarray(c.crosslinker_k, self.dtype),
                 jnp.asarray(c.crosslinker_rest_length, self.dtype),
-                mask=doubly,
+                mask=doubly, metric=metric,
             )
         if c.periphery_radius > 0:
             # spherical wall: Hertzian-like push-back when beads poke out
@@ -243,6 +329,15 @@ class ChromatinSim:
         f = self._forces(state)
         if c.hydro == "none":
             vel = local_drag_mobility(f, c.bead_radius, c.viscosity)
+        elif c.hydro == "rpy_spectral":
+            # periodic spectral-Ewald RPY: real-space tables over the hydro
+            # neighbor matrix + dense-MXU FFT wave sum (the PVFMM-analog
+            # at-scale Stokes mobility)
+            from mundy_tpu.ops.pallas.se_grid import se_bin_dense
+            pieces = se_bin_dense(self.se_geom, state.pos, self.dtype)
+            vel = se_rpy_apply(self.spectral, state.pos, f, state.hydro_nmat,
+                               self.metric, geom=self.se_geom, pieces=pieces,
+                               dense=True)
         else:
             vel = rpy_apply_neighbors(state.pos, f, state.nmat, c.bead_radius,
                                       c.viscosity, overlap_correction=True)
@@ -250,12 +345,14 @@ class ChromatinSim:
             vel = vel + brownian_velocity(state.key, state.step, self.N,
                                           jnp.asarray(c.diffusion_coeff, self.dtype),
                                           c.dt, dtype=self.dtype)
-        return state.replace(pos=state.pos + jnp.asarray(c.dt, self.dtype) * vel,
-                             step=state.step + 1)
+        new_pos = state.pos + jnp.asarray(c.dt, self.dtype) * vel
+        if self.periodic:
+            new_pos = self.metric.wrap(new_pos)
+        return state.replace(pos=new_pos, step=state.step + 1)
 
     def _rebuild(self, state: ChromatinState) -> ChromatinState:
-        nmat, ovf = self._build_nmat(state.pos)
-        return state.replace(nmat=nmat, ref_pos=state.pos,
+        nmat, hmat, ovf = self._build_nmat(state.pos)
+        return state.replace(nmat=nmat, hydro_nmat=hmat, ref_pos=state.pos,
                              rebuild_count=state.rebuild_count + 1,
                              overflow=state.overflow | ovf)
 

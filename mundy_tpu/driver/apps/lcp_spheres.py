@@ -229,12 +229,15 @@ class LCPSpheresSim:
             return lambda f: local_drag_mobility(f, c.radius, c.viscosity)
         if c.hydro == "rpy_spectral":
             # bin once per step: positions are fixed across the O(10-100)
-            # mobility applies of the BBPGD solve
-            from mundy_tpu.ops.pallas.se_grid import se_bin_and_windows
-            pieces = se_bin_and_windows(self.se_geom, pos, self.dtype)
+            # mobility applies of the BBPGD solve. Dense MXU gridding
+            # (se_spread_dense) — pure XLA, so it also runs inside the
+            # fused nested-while run program (the per-slot Pallas kernels
+            # faulted there on v5e).
+            from mundy_tpu.ops.pallas.se_grid import se_bin_dense
+            pieces = se_bin_dense(self.se_geom, pos, self.dtype)
             return lambda f: se_rpy_apply(self.spectral, pos, f, nmat,
                                           self.metric, geom=self.se_geom,
-                                          pieces=pieces)
+                                          pieces=pieces, dense=True)
         if c.hydro == "rpy_ewald":
             return lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat, self.metric)
         return lambda f: rpy_apply_neighbors(
@@ -327,13 +330,9 @@ class LCPSpheresSim:
         return state
 
     def run_block(self, state: LCPSpheresState, n_steps: int) -> LCPSpheresState:
-        if self.spectral is not None:
-            # known issue: the Pallas gridding kernels inside the fused
-            # nested-while run program fault on v5e (device error); the
-            # host-driven per-step program (rebuild via lax.cond) is stable.
-            for _ in range(int(n_steps)):
-                state = self.step(state)
-            return state
+        # (the old per-slot Pallas gridding kernels faulted inside the fused
+        # nested-while program on v5e; the dense MXU gridding is pure XLA,
+        # so the spectral path runs the fused loop like everything else)
         if not hasattr(self, "_run_jit"):
             self._run_jit = jax.jit(self._run_n)
         return self._run_jit(state, jnp.asarray(n_steps, jnp.int32))

@@ -258,9 +258,33 @@ def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,
     return u, pieces[1]
 
 
+def se_wave_apply_dense(op: SpectralEwaldRPY, geom, pos: Array,
+                        forces: Array, pieces=None):
+    """Wave-space sum with dense MXU gridding (ops/pallas/se_grid.py
+    se_spread_dense / se_interp_dense): the spread/interp contractions run
+    as batched matmuls — pure XLA, no Mosaic, ~8x the per-slot Pallas
+    kernels at 1M. Returns (u, overflow).
+
+    `pieces` from se_bin_dense amortizes the binning sort across repeated
+    applies at fixed positions (the BBPGD solve's mobility products)."""
+    from mundy_tpu.ops.pallas.se_grid import (
+        se_bin_dense,
+        se_interp_dense,
+        se_spread_dense,
+    )
+
+    dtype = forces.dtype
+    if pieces is None:
+        pieces = se_bin_dense(geom, pos, dtype)
+    grid = se_spread_dense(geom, pieces, forces)
+    ugrid = _k_apply(op, grid)
+    u = se_interp_dense(geom, pieces, pos.shape[0], ugrid.astype(dtype))
+    return u, pieces[1]
+
+
 def se_rpy_apply(op: SpectralEwaldRPY, pos: Array, forces: Array,
                  nmat, metric, geom=None, interpret=None,
-                 pieces=None) -> Array:
+                 pieces=None, dense: bool = True) -> Array:
     """Full periodic RPY product: real (tables) + wave (FFT) + self.
 
     Pass `geom` (make_se_geometry) to route gridding through the Pallas row
@@ -270,8 +294,12 @@ def se_rpy_apply(op: SpectralEwaldRPY, pos: Array, forces: Array,
 
     u = ewald_real_apply(op.base, pos, forces, nmat, metric)
     if geom is not None:
-        uw, _ovf = se_wave_apply_rows(op, geom, pos, forces, interpret,
-                                      pieces=pieces)
+        if dense:
+            uw, _ovf = se_wave_apply_dense(op, geom, pos, forces,
+                                           pieces=pieces)
+        else:
+            uw, _ovf = se_wave_apply_rows(op, geom, pos, forces, interpret,
+                                          pieces=pieces)
         u = u + uw
     else:
         u = u + se_wave_apply(op, pos, forces)

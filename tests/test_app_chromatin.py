@@ -55,3 +55,25 @@ def test_rpy_hydro_runs():
     sim = ChromatinSim(cfg(hydro="rpy_neighbors", num_steps=20))
     state = sim.run_block(sim.init(), 20)
     assert np.isfinite(np.asarray(state.pos)).all()
+
+
+def test_spectral_hydro_periodic_box():
+    """Periodic-box chromatin with the spectral-Ewald Stokes mobility (the
+    at-scale hydro mode, BASELINE config #5): chains stay connected and the
+    trajectory stays finite through rebuilds."""
+    sim = ChromatinSim(cfg(hydro="rpy_spectral", box_size=24.0,
+                           num_steps=15, num_crosslinkers=16))
+    state = sim.init()
+    assert not bool(state.overflow)
+    state = sim.run_block(state, 15)
+    pos = np.asarray(state.pos)
+    assert np.isfinite(pos).all()
+    assert (pos >= 0).all() and (pos <= 24.0).all()
+    assert not bool(state.overflow)
+    # backbone intact under the periodic metric
+    c = sim.config
+    import jax.numpy as jnp
+    sep = sim.metric.sep(state.pos[np.asarray(sim.bond_i)],
+                         state.pos[np.asarray(sim.bond_j)])
+    L = np.asarray(jnp.linalg.norm(sep, axis=-1))
+    assert L.max() < c.backbone_rmax * 2 * c.bead_radius

@@ -112,3 +112,28 @@ def test_pallas_gridding_matches_scatter(rng):
     u_ref = se_interpolate(op, pos, g_ref)
     u_new = se_interp_rows(geom, pos, g_ref, interpret=True)
     assert float(jnp.abs(u_new - u_ref).max()) < 2e-4 * float(jnp.abs(u_ref).max())
+
+
+def test_dense_gridding_matches_scatter(rng):
+    """Dense MXU-contraction spread/interp vs the scatter/gather reference
+    gridding (dense evaluates the full slab axes — a strict accuracy
+    superset of the P-point windows, so differences sit at the window
+    truncation level)."""
+    from mundy_tpu.mobility.spectral import se_spread, se_interpolate
+    from mundy_tpu.ops.pallas.se_grid import (
+        make_se_grid_rows, se_bin_dense, se_spread_dense, se_interp_dense)
+    from mundy_tpu.mobility import build_spectral_ewald
+
+    n = 250
+    pos = jnp.asarray(rng.uniform(0, BOX, (n, 3)))
+    F = jnp.asarray(rng.normal(size=(n, 3)))
+    op = build_spectral_ewald(BOX, A, VISC, tol=1e-4, dtype=jnp.float64)
+    geom = make_se_grid_rows(op.grid_n, op.support, BOX, op.base.xi, op.eta, n)
+    pieces = se_bin_dense(geom, pos, jnp.float64)
+    assert not bool(pieces[1])
+    g_ref = se_spread(op, pos, F)
+    g_new = se_spread_dense(geom, pieces, F)
+    assert float(jnp.abs(g_new - g_ref).max()) < 2e-4 * float(jnp.abs(g_ref).max())
+    u_ref = se_interpolate(op, pos, g_ref)
+    u_new = se_interp_dense(geom, pieces, n, g_ref)
+    assert float(jnp.abs(u_new - u_ref).max()) < 2e-4 * float(jnp.abs(u_ref).max())

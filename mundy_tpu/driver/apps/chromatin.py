@@ -145,24 +145,19 @@ class ChromatinSim:
                 c.box_size, c.bead_radius, c.viscosity, tol=1e-4,
                 xi=s2 / r_cut, r_cut=r_cut, dtype=self.dtype)
             self.se_geom = make_se_geometry(self.spectral, self.N)
-            self.hydro_search = 0.5 * self.spectral.base.r_cut
-            self.hydro_grid = make_cell_grid(
-                [0, 0, 0], np.array([c.box_size] * 3),
-                2 * self.hydro_search, (True,) * 3, self.dtype)
-            # chains of TOUCHING beads cluster far beyond the box-mean
-            # density — size hydro capacities from the close-packing bound
-            # (beads cannot pack denser than ~0.74 of volume at spacing 2r)
-            r_cut = self.spectral.base.r_cut
+            # real-space correction runs on the dense 3D-cell engine (no
+            # neighbor matrix: its K-pass build alone cost ~20 s at 262k
+            # with wide hydro cutoffs). Cell capacity from the close-packing
+            # bound (touching-bead chains cluster beyond the box mean).
+            from mundy_tpu.neighbor.cells3d import make_cell_grid3d
             d = 2.0 * c.bead_radius
-            pack_nbrs = 0.74 * 4.19 * (r_cut / d) ** 3
-            self.hydro_max_neighbors = min(
-                int((pack_nbrs + 6 * _math.sqrt(pack_nbrs + 4) + 8 + 7)
-                    // 8 * 8),
-                ((self.N + 7) // 8) * 8)
-            cell_edge = 2 * self.hydro_search
-            pack_cell = 0.74 * (cell_edge / d) ** 3
-            self.hydro_cell_capacity = min(
-                int(pack_cell + 6 * _math.sqrt(pack_cell + 4) + 8), self.N)
+            edge = self.spectral.base.r_cut
+            pack_cell = 0.74 * (edge / d) ** 3
+            cap = int(pack_cell + 6 * _math.sqrt(pack_cell + 4) + 4)
+            cap = min(((cap + 7) // 8) * 8, self.N)
+            g3 = make_cell_grid3d([c.box_size] * 3, edge, self.N,
+                                  dtype=self.dtype)
+            self.hydro_cells_grid = g3.replace(capacity=max(g3.capacity, cap))
 
         # backbone connectivity (i, i+1 within each chain)
         bead = np.arange(self.N)
@@ -248,20 +243,7 @@ class ChromatinSim:
             chunk=min(c.chunk, max(256, self.N)), exclude=self.exclude,
         )
         ovf = clist.overflow | nmat.overflow
-        if self.spectral is not None:
-            hcl = build_cell_list(pos, self.hydro_grid,
-                                  self.hydro_cell_capacity)
-            # candidate buffer is (chunk, 27*cap, 3): bound it to ~6M rows
-            chunk_h = max(256, int(6e6 // (27 * self.hydro_cell_capacity)))
-            hmat = neighbor_matrix(
-                pos, hcl, jnp.asarray(self.hydro_search, self.dtype),
-                metric=self.metric, max_neighbors=self.hydro_max_neighbors,
-                chunk=min(chunk_h, max(256, self.N)),
-            )
-            ovf = ovf | hcl.overflow | hmat.overflow
-        else:
-            hmat = nmat
-        return nmat, hmat, ovf
+        return nmat, nmat, ovf
 
     # ------------------------------------------------------------------
     def _kmc(self, state: ChromatinState) -> ChromatinState:
@@ -330,14 +312,18 @@ class ChromatinSim:
         if c.hydro == "none":
             vel = local_drag_mobility(f, c.bead_radius, c.viscosity)
         elif c.hydro == "rpy_spectral":
-            # periodic spectral-Ewald RPY: real-space tables over the hydro
-            # neighbor matrix + dense-MXU FFT wave sum (the PVFMM-analog
-            # at-scale Stokes mobility)
+            # periodic spectral-Ewald RPY: dense 3D-cell real-space engine
+            # + dense-MXU FFT wave sum (the PVFMM-analog at-scale Stokes
+            # mobility). Cells + binning rebuilt per step (one sort each).
+            from mundy_tpu.mobility.spectral import se_rpy_apply_cells
+            from mundy_tpu.neighbor.cells3d import build_cells3d
             from mundy_tpu.ops.pallas.se_grid import se_bin_dense
             pieces = se_bin_dense(self.se_geom, state.pos, self.dtype)
-            vel = se_rpy_apply(self.spectral, state.pos, f, state.hydro_nmat,
-                               self.metric, geom=self.se_geom, pieces=pieces,
-                               dense=True)
+            cells = build_cells3d(state.pos, self.hydro_cells_grid)
+            vel = se_rpy_apply_cells(self.spectral, cells, state.pos, f,
+                                     (c.box_size,) * 3, self.se_geom,
+                                     pieces=pieces)
+            state = state.replace(overflow=state.overflow | cells.overflow)
         else:
             vel = rpy_apply_neighbors(state.pos, f, state.nmat, c.bead_radius,
                                       c.viscosity, overlap_correction=True)

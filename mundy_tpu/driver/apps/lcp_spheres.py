@@ -106,20 +106,17 @@ class LCPSpheresSim:
         self.spectral = None
         if c.hydro == "rpy_spectral":
             # FFT wave sum + density-balanced real-space cutoff (the PVFMM
-            # analog path; scales to 1M bodies where the direct k-sum dies)
+            # analog path; scales to 1M bodies where the direct k-sum dies).
+            # Real space runs on the dense 3D-cell engine — no hydro
+            # neighbor matrix (its K-pass build dominates wide cutoffs).
+            from mundy_tpu.neighbor.cells3d import make_cell_grid3d
             self.spectral = build_spectral_ewald(
                 c.box_size, c.radius, c.viscosity, tol=1e-4,
                 n_particles=c.num_spheres, dtype=self.dtype)
             self.se_geom = make_se_geometry(self.spectral, c.num_spheres)
-            self.hydro_search = 0.5 * self.spectral.base.r_cut
-            self.hydro_grid = make_cell_grid(
-                [0, 0, 0], np.array([c.box_size] * 3),
-                2 * self.hydro_search, (True,) * 3, self.dtype)
-            # real-space pair count from density: rho * 4/3 pi r_cut^3 + tail
-            rho = c.num_spheres / c.box_size**3
-            mean_nbrs = rho * 4.19 * self.spectral.base.r_cut**3
-            self.hydro_max_neighbors = int(
-                (mean_nbrs + 6 * _math.sqrt(mean_nbrs + 4) + 8 + 7) // 8 * 8)
+            self.hydro_cells_grid = make_cell_grid3d(
+                [c.box_size] * 3, self.spectral.base.r_cut, c.num_spheres,
+                dtype=self.dtype)
         if c.hydro == "rpy_ewald":
             # periodic long-range RPY with its own real-space cutoff (~L/4,
             # balancing k-mode count against real-space pair volume); the
@@ -129,7 +126,7 @@ class LCPSpheresSim:
             self.ewald = build_ewald_rpy(
                 c.box_size, c.radius, c.viscosity,
                 xi=3.0 / r_cut, r_cut=r_cut, tol=1e-4, dtype=self.dtype)
-            self.hydro_search = 0.5 * r_cut + 0.25 * c.skin if False else 0.5 * r_cut
+            self.hydro_search = 0.5 * r_cut
             self.hydro_grid = make_cell_grid(
                 [0, 0, 0], np.array([c.box_size] * 3),
                 2 * self.hydro_search, (True,) * 3, self.dtype)
@@ -158,15 +155,13 @@ class LCPSpheresSim:
         seg = segment_windows(pairs.i, c.num_spheres, self.seg_block,
                               self.seg_window)
         ovf = clist_ovf | nmat.overflow | pairs.overflow | seg.overflow
-        if self.ewald is not None or self.spectral is not None:
-            hk = (self.hydro_max_neighbors if self.spectral is not None
-                  else 8 * c.max_neighbors)
+        if self.ewald is not None:
             hcl = build_cell_list(pos, self.hydro_grid, 4 * c.cell_capacity)
             # small chunk: the (chunk, 27*cap, 3) candidate buffers of the
             # wide hydro search otherwise exceed HBM at scale
             hmat = neighbor_matrix(
                 pos, hcl, jnp.asarray(self.hydro_search, self.dtype),
-                metric=self.metric, max_neighbors=hk,
+                metric=self.metric, max_neighbors=8 * c.max_neighbors,
                 chunk=min(4096, max(256, c.num_spheres)),
             )
             ovf = ovf | hcl.overflow | hmat.overflow
@@ -228,16 +223,18 @@ class LCPSpheresSim:
         if c.hydro == "none":
             return lambda f: local_drag_mobility(f, c.radius, c.viscosity)
         if c.hydro == "rpy_spectral":
-            # bin once per step: positions are fixed across the O(10-100)
-            # mobility applies of the BBPGD solve. Dense MXU gridding
-            # (se_spread_dense) — pure XLA, so it also runs inside the
-            # fused nested-while run program (the per-slot Pallas kernels
-            # faulted there on v5e).
+            # bin + build cells once per step: positions are fixed across
+            # the O(10-100) mobility applies of the BBPGD solve. Dense MXU
+            # gridding + dense 3D-cell real space — pure XLA, runs inside
+            # the fused nested-while run program.
+            from mundy_tpu.mobility.spectral import se_rpy_apply_cells
+            from mundy_tpu.neighbor.cells3d import build_cells3d
             from mundy_tpu.ops.pallas.se_grid import se_bin_dense
             pieces = se_bin_dense(self.se_geom, pos, self.dtype)
-            return lambda f: se_rpy_apply(self.spectral, pos, f, nmat,
-                                          self.metric, geom=self.se_geom,
-                                          pieces=pieces, dense=True)
+            cells = build_cells3d(pos, self.hydro_cells_grid)
+            return lambda f: se_rpy_apply_cells(
+                self.spectral, cells, pos, f, (c.box_size,) * 3,
+                self.se_geom, pieces=pieces)
         if c.hydro == "rpy_ewald":
             return lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat, self.metric)
         return lambda f: rpy_apply_neighbors(

@@ -51,6 +51,11 @@ class EwaldRPY(NamedTuple):
     kvecs: Array  # (K, 3)
     kcoeff: Array  # (K,) M(k) H(k) / V   (tensor applied as (I - khat khat))
     self_coeff: float  # 1/(6 pi eta a) - W(0)
+    # Chebyshev coefficients (python float tuples -> baked as scalars, no
+    # table gathers) of the SMOOTH window scalars fw/gw on [0, r_cut]; the
+    # kinked RPY branches are evaluated analytically at apply time
+    cheb_fw: tuple = ()
+    cheb_gw: tuple = ()
 
 
 def _rpy_scalars(r, a, eta):
@@ -158,6 +163,18 @@ def build_ewald_rpy(
 
     self_coeff = 1.0 / (6 * np.pi * viscosity * radius) - fw[0]
 
+    # Chebyshev interpolants of the SMOOTH window scalars from values at
+    # Chebyshev nodes (fine quadrature: more accurate than the 20k-point
+    # tables). The kinked RPY branch split happens analytically at apply
+    # time, so only C-infinity functions are fitted — spectral convergence.
+    D = 16
+    xk = np.cos(np.pi * (np.arange(D + 1) + 0.5) / (D + 1))
+    rk = 0.5 * (xk + 1) * r_cut
+    fwk, gwk = _window_scalars(rk, radius, viscosity, xi, nk=200000)
+    from numpy.polynomial import chebyshev as _C
+    cheb_fw = tuple(float(c) for c in _C.chebfit(xk, fwk, D))
+    cheb_gw = tuple(float(c) for c in _C.chebfit(xk, gwk, D))
+
     return EwaldRPY(
         box=float(box), radius=float(radius), viscosity=float(viscosity),
         xi=float(xi), r_cut=float(r_cut),
@@ -167,7 +184,46 @@ def build_ewald_rpy(
         kvecs=jnp.asarray(kv, dtype),
         kcoeff=jnp.asarray(kcoeff, dtype),
         self_coeff=float(self_coeff),
+        cheb_fw=cheb_fw,
+        cheb_gw=cheb_gw,
     )
+
+
+def _clenshaw(coeffs: tuple, x: Array) -> Array:
+    """Chebyshev series evaluation; coeffs are python floats (baked as
+    program scalars — zero memory traffic, no gathers)."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for k in range(len(coeffs) - 1, 0, -1):
+        b1, b2 = 2.0 * x * b1 - b2 + coeffs[k], b1
+    return x * b1 - b2 + coeffs[0]
+
+
+def real_scalars(op: EwaldRPY, r: Array, rinv: Array):
+    """Real-space correction scalars R(r) = RPY(r) - W(r), gather-free.
+
+    The RPY branches (kink at r = 2a) are analytic; the smooth window W
+    comes from the Chebyshev interpolants. Replaces _interp_tables' two
+    per-pair table gathers (~9 ns/element on v5e — at 1M bodies x 216
+    hydro neighbors those gathers alone cost ~1 s per mobility apply)."""
+    a = op.radius
+    eta = op.viscosity
+    c8 = rinv / (8 * math.pi * eta)
+    a2 = a * a
+    far_f = c8 * (1 + (2.0 / 3.0) * a2 * rinv * rinv)
+    far_g = c8 * (1 - 2.0 * a2 * rinv * rinv)
+    c6 = 1.0 / (6 * math.pi * eta * a)
+    near_f = c6 * (1 - 9.0 * r / (32.0 * a))
+    near_g = c6 * (3.0 * r / (32.0 * a))
+    near = r < 2 * a
+    f_rpy = jnp.where(near, near_f, far_f)
+    g_rpy = jnp.where(near, near_g, far_g)
+    x = 2.0 * r / op.r_cut - 1.0
+    fw = _clenshaw(op.cheb_fw, x)
+    gw = _clenshaw(op.cheb_gw, x)
+    inside = r < op.r_cut
+    return (jnp.where(inside, f_rpy - fw, 0.0),
+            jnp.where(inside, g_rpy - gw, 0.0))
 
 
 def _interp_tables(op: EwaldRPY, r: Array):
@@ -179,6 +235,49 @@ def _interp_tables(op: EwaldRPY, r: Array):
     g = op.table_g[i0] * (1 - w) + op.table_g[i0 + 1] * w
     inside = r < op.r_cut
     return jnp.where(inside, f, 0.0), jnp.where(inside, g, 0.0)
+
+
+def ewald_real_apply_cells(op: EwaldRPY, cells, forces: Array,
+                           box_lengths) -> Array:
+    """Real-space correction via the dense 3D-cell engine — INCLUDING the
+    self term (the self-pair's sep = 0 contribution is exactly
+    self_coeff * F_i, so callers must NOT add op.self_coeff again).
+
+    `cells` from neighbor.cells3d.build_cells3d with cell edge >= r_cut.
+    Gather-free: no neighbor matrix, no per-pair table lookups (the
+    Chebyshev window scalars evaluate inline). Replaces the (N, K) path
+    whose K-pass neighbor build alone cost 20 s at 262k bodies with wide
+    hydro cutoffs.
+    """
+    from mundy_tpu.neighbor.cells3d import (
+        gather_from_flat,
+        pair_apply_cells3d,
+        scatter_to_flat,
+    )
+
+    if not op.cheb_fw:
+        raise ValueError("ewald_real_apply_cells needs the Chebyshev window "
+                         "coefficients (rebuild the operator)")
+    n = forces.shape[0]
+    payload = gather_from_flat(cells, forces)
+
+    def kernel(DX, DY, DZ, r2, pj):
+        r2c = jnp.maximum(r2, 1e-24)
+        rinv = jax.lax.rsqrt(r2c)
+        r = r2c * rinv
+        f, g = real_scalars(op, r, rinv)
+        fx = pj[..., None, :, 0]
+        fy = pj[..., None, :, 1]
+        fz = pj[..., None, :, 2]
+        rdotf = (DX * fx + DY * fy + DZ * fz) * (rinv * rinv)
+        grf = g * rdotf
+        ux = jnp.sum(f * fx + grf * DX, axis=-1)
+        uy = jnp.sum(f * fy + grf * DY, axis=-1)
+        uz = jnp.sum(f * fz + grf * DZ, axis=-1)
+        return jnp.stack([ux, uy, uz], axis=-1)
+
+    u = pair_apply_cells3d(cells, box_lengths, payload, kernel, 3)
+    return scatter_to_flat(cells, u, n)
 
 
 def ewald_wave_apply(op: EwaldRPY, pos: Array, forces: Array,
@@ -222,20 +321,58 @@ def ewald_wave_apply(op: EwaldRPY, pos: Array, forces: Array,
 
 
 def ewald_real_apply(op: EwaldRPY, pos: Array, forces: Array,
-                     nmat: NeighborMatrix, metric) -> Array:
-    """Real-space correction over the neighbor matrix (cutoff >= r_cut)."""
-    n = pos.shape[0]
-    idx = jnp.minimum(nmat.idx, n - 1)
-    rvec = metric.sep(pos[idx], pos[:, None, :])  # from j toward i
-    r2 = jnp.maximum(jnp.sum(rvec * rvec, axis=-1), 1e-24)
-    rinv = jax.lax.rsqrt(r2)
-    r = r2 * rinv
-    f, g = _interp_tables(op, r)
-    fj = forces[idx]
-    rdotf = jnp.sum(rvec * fj, axis=-1) * rinv * rinv
-    u = f[..., None] * fj + (g * rdotf)[..., None] * rvec
-    u = jnp.where(nmat.mask[..., None], u, 0.0)
-    return jnp.sum(u, axis=1)
+                     nmat: NeighborMatrix, metric,
+                     hbm_budget_bytes: float = 1.0e9) -> Array:
+    """Real-space correction over the neighbor matrix (cutoff >= r_cut).
+
+    Chunked over particles: at 1M bodies x 216 hydro neighbors the (N, K, 3)
+    pair temporaries are ~2.5 GB EACH and several stay live — the unchunked
+    graph alone blows the v5e HBM budget."""
+    n, k = nmat.idx.shape
+    itemsize = jnp.dtype(pos.dtype).itemsize
+    # pack positions + forces: ONE (rows, K) gather instead of two (gather
+    # cost is per row on TPU, independent of row width)
+    pf = jnp.concatenate([pos, forces], axis=1)  # (N, 6)
+    use_cheb = len(op.cheb_fw) > 0
+
+    def apply_rows(idx_c, mask_c, pos_c):
+        idx_c = jnp.minimum(idx_c, n - 1)
+        pfj = pf[idx_c]  # (chunk, K, 6)
+        rvec = metric.sep(pfj[..., :3], pos_c[:, None, :])  # from j toward i
+        fj = pfj[..., 3:]
+        r2 = jnp.maximum(jnp.sum(rvec * rvec, axis=-1), 1e-24)
+        rinv = jax.lax.rsqrt(r2)
+        r = r2 * rinv
+        if use_cheb:
+            f, g = real_scalars(op, r, rinv)
+        else:
+            f, g = _interp_tables(op, r)
+        rdotf = jnp.sum(rvec * fj, axis=-1) * rinv * rinv
+        u = f[..., None] * fj + (g * rdotf)[..., None] * rvec
+        u = jnp.where(mask_c[..., None], u, 0.0)
+        return jnp.sum(u, axis=1)
+
+    # ~8 live (chunk, K, 3)-class temporaries
+    chunk = int(hbm_budget_bytes // max(8 * k * 3 * itemsize, 1))
+    if chunk >= n:
+        return apply_rows(nmat.idx, nmat.mask, pos)
+    chunk = max(1024, (chunk // 1024) * 1024)
+    n_pad = -(-n // chunk) * chunk
+
+    def pad(a, fill=0):
+        cfg = [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg, constant_values=fill)
+
+    idx_p = pad(nmat.idx, n - 1)
+    mask_p = pad(nmat.mask, False)
+    pos_p = pad(pos)
+
+    def one(c):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)  # noqa: E731
+        return apply_rows(sl(idx_p), sl(mask_p), sl(pos_p))
+
+    u = jax.lax.map(one, jnp.arange(n_pad // chunk, dtype=jnp.int32))
+    return u.reshape(n_pad, 3)[:n]
 
 
 def ewald_rpy_apply(op: EwaldRPY, pos: Array, forces: Array,

@@ -44,7 +44,10 @@ class SpectralEwaldRPY(NamedTuple):
     grid_n: int  # G, FFT grid points per axis
     support: int  # P, Gaussian support in grid points per axis
     eta: float  # shape-splitting fraction
-    kcoeff: Array  # (G, G, G//2+1) rfft-layout scaled mode coefficients
+    kcoeff: object  # None — mode coefficients are built on device per
+    # apply (a (G, G, G//2+1) constant baked into the jit program is 270 MB
+    # at G=512 and overflows the remote-compile request; the elementwise
+    # rebuild fuses with the FFT pipeline for free)
     kvec: tuple  # (kx (G,), ky (G,), kz (G//2+1,)) mode wavenumbers
 
 
@@ -105,20 +108,12 @@ def build_spectral_ewald(
     kx, _ = _fft_wavenumbers(G, box)
     ky = kx
     _, kz = _fft_wavenumbers(G, box)
-    KX, KY, KZ = np.meshgrid(kx, ky, kz, indexing="ij")
-    k2 = KX * KX + KY * KY + KZ * KZ
-    kn = np.sqrt(np.maximum(k2, 1e-300))
-    sinc_ka = np.sinc(kn * radius / np.pi)
-    H = (1 + k2 / (4 * xi**2)) * np.exp(-k2 * (1.0 - eta) / (4 * xi**2))
-    vol = box**3
-    with np.errstate(divide="ignore", invalid="ignore"):
-        coeff = sinc_ka**2 * H / (viscosity * k2) / vol
-    coeff[0, 0, 0] = 0.0  # k = 0 excluded (neutralizing background)
-    # modes beyond kmax contribute ~nothing but cost nothing either; keep
-    # them screened by H rather than hard-truncating (smoother error).
+    # mode coefficients are built on device inside _k_apply (see kcoeff
+    # field note); modes beyond kmax contribute ~nothing but cost nothing
+    # either — they stay screened by H rather than hard-truncated.
     return SpectralEwaldRPY(
         base=base, grid_n=G, support=int(support), eta=float(eta),
-        kcoeff=jnp.asarray(coeff, dtype),
+        kcoeff=None,
         kvec=(jnp.asarray(kx, dtype), jnp.asarray(ky, dtype),
               jnp.asarray(kz, dtype)),
     )
@@ -213,7 +208,13 @@ def _k_apply(op: SpectralEwaldRPY, grid: Array) -> Array:
     inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.maximum(k2, 1e-30), 0.0)
     kdotf = KX * fhat[..., 0] + KY * fhat[..., 1] + KZ * fhat[..., 2]
     proj = kdotf * inv_k2
-    c = op.kcoeff
+    # on-device mode coefficients: sinc(ka)^2 (1 + k^2/4xi^2)
+    # exp(-k^2 (1-eta)/4xi^2) / (visc k^2 V); k = 0 excluded
+    xi = op.base.xi
+    kn = jnp.sqrt(jnp.maximum(k2, 1e-30))
+    sinc_ka = jnp.sinc(kn * (op.base.radius / jnp.pi))
+    H = (1 + k2 / (4 * xi**2)) * jnp.exp(-k2 * ((1.0 - op.eta) / (4 * xi**2)))
+    c = sinc_ka**2 * H * inv_k2 / (op.base.viscosity * op.base.box**3)
     uhat = jnp.stack([
         c * (fhat[..., 0] - proj * KX),
         c * (fhat[..., 1] - proj * KY),
@@ -280,6 +281,22 @@ def se_wave_apply_dense(op: SpectralEwaldRPY, geom, pos: Array,
     ugrid = _k_apply(op, grid)
     u = se_interp_dense(geom, pieces, pos.shape[0], ugrid.astype(dtype))
     return u, pieces[1]
+
+
+def se_rpy_apply_cells(op: SpectralEwaldRPY, cells, pos: Array,
+                       forces: Array, box_lengths, geom,
+                       pieces=None) -> Array:
+    """Full periodic RPY product with the dense 3D-cell real-space engine
+    (neighbor.cells3d) + dense MXU wave gridding — the at-scale path: no
+    neighbor matrix anywhere (its K-pass build cost 20 s at 262k with wide
+    hydro cutoffs). The cells engine's self-pair term IS self_coeff, so no
+    separate self add. `cells` from build_cells3d with edge >= base.r_cut,
+    rebuilt whenever positions move (one sort + scatter)."""
+    from mundy_tpu.mobility.ewald import ewald_real_apply_cells
+
+    u = ewald_real_apply_cells(op.base, cells, forces, box_lengths)
+    uw, _ovf = se_wave_apply_dense(op, geom, pos, forces, pieces=pieces)
+    return u + uw
 
 
 def se_rpy_apply(op: SpectralEwaldRPY, pos: Array, forces: Array,

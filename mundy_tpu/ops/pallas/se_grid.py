@@ -297,7 +297,13 @@ def _row_iyz(geom: SEGridRows):
 
 
 def se_spread_dense(geom: SEGridRows, pieces_dense, forces: Array) -> Array:
-    """(G, G, G, 3) spread grid via batched MXU contractions."""
+    """(G, G, G, 3) spread grid via per-row MXU contractions.
+
+    Memory shape: a scan over rows accumulates each row's slab directly
+    into a y/z-padded grid with dynamic-slice adds — nothing of size
+    O(n_rows * G * W^2) is ever materialized (the all-slabs layout costs
+    10+ GB at G=512/1M bodies). Pad P per axis covers the W-window
+    overhang; periodic wrap is two dense edge folds at the end."""
     G, m, P, R = geom.G, geom.m, geom.P, geom.R
     W = m + P
     nyz = G // m
@@ -308,69 +314,79 @@ def se_spread_dense(geom: SEGridRows, pieces_dense, forces: Array) -> Array:
     f = jnp.where(valid[..., None], forces[jnp.minimum(perm, n - 1)], 0.0)
     iy_all, iz_all = _row_iyz(geom)
     hi = jax.lax.Precision.HIGHEST
+    half = P // 2
 
-    # chunk rows so the (cr, R, W*W*3) outer-product temporaries stay small
-    cr = max(1, int(3e8 // (R * W * W * 3 * 4)))
-
-    def one_row(args):
+    def body(acc, args):
         ur, vr, fr, iyr, izr = args
         wx = _dense_axis_windows(geom, ur, vr, dtype)       # (R, G+XPAD)
         wy, wz = _dense_yz(geom, ur, iyr, izr, dtype)       # (R, W)
         wzf = wz[:, :, None] * fr[:, None, :]               # (R, W, 3)
         wyzf = (wy[:, :, None, None] * wzf[:, None, :, :]).reshape(
             R, W * W * 3)
-        return jnp.einsum("rx,rk->xk", wx, wyzf, precision=hi)
+        slab = jnp.einsum("rx,rk->xk", wx, wyzf, precision=hi)
+        slab = slab.reshape(G + XPAD, W, W, 3)
+        # fold the x wrap pad immediately (slab x spans G + XPAD)
+        core = slab[XPAD // 2:XPAD // 2 + G]
+        core = core.at[G - XPAD // 2:].add(slab[:XPAD // 2])
+        core = core.at[:XPAD // 2].add(slab[XPAD // 2 + G:])
+        # accumulate into the padded grid: y/z start at i*m (pad offset half)
+        zero = jnp.zeros((), iyr.dtype)
+        y0 = iyr * m
+        z0 = izr * m
+        region = jax.lax.dynamic_slice(acc, (zero, y0, z0, zero), (G, W, W, 3))
+        acc = jax.lax.dynamic_update_slice(acc, region + core,
+                                           (zero, y0, z0, zero))
+        return acc, ()
 
-    slabs = jax.lax.map(one_row, (u, valid, f, iy_all, iz_all), batch_size=cr)
-    slabs = slabs.reshape(n_rows, G + XPAD, W, W * 3)
+    gpad = jnp.zeros((G, G + P, G + P, 3), dtype)
+    gpad, _ = jax.lax.scan(body, gpad, (u, valid, f, iy_all, iz_all))
 
-    core = slabs[:, XPAD // 2:XPAD // 2 + G]
-    head = slabs[:, :XPAD // 2]
-    tail = slabs[:, XPAD // 2 + G:]
-    core = core.at[:, G - XPAD // 2:].add(head)
-    core = core.at[:, :XPAD // 2].add(tail)
-    s = core.reshape(nyz, nyz, G, W, W, 3)
-    s = _combine_axis(s, G, m, P, axis_rows=0, axis_w=3)
-    s = _combine_axis(s, G, m, P, axis_rows=1, axis_w=3)
-    return jnp.transpose(s, (2, 1, 0, 3))
+    # fold the y/z periodic pads (front `half`, back `P - half`)
+    g = gpad[:, half:half + G, :, :]
+    g = g.at[:, G - half:, :, :].add(gpad[:, :half, :, :])
+    g = g.at[:, :P - half, :, :].add(gpad[:, half + G:, :, :])
+    g2 = g[:, :, half:half + G, :]
+    g2 = g2.at[:, :, G - half:, :].add(g[:, :, :half, :])
+    g2 = g2.at[:, :, :P - half, :].add(g[:, :, half + G:, :])
+    return g2
 
 
 def se_interp_dense(geom: SEGridRows, pieces_dense, n: int,
                     grid: Array) -> Array:
-    """Interpolate grid velocities to particles: transposed contraction."""
+    """Interpolate grid velocities to particles: transposed contraction,
+    reading each row's region from a y/z-padded grid inside the scan (the
+    memory-shape mirror of se_spread_dense)."""
     G, m, P, R = geom.G, geom.m, geom.P, geom.R
     W = m + P
     nyz = G // m
-    n_rows = nyz * nyz
     dtype = grid.dtype
     perm, _ovf, u, valid = pieces_dense
     iy_all, iz_all = _row_iyz(geom)
     hi = jax.lax.Precision.HIGHEST
+    half = P // 2
 
-    g = jnp.transpose(grid, (2, 1, 0, 3))
-    s = _extract_axis(g, G, m, P)
-    s = jnp.moveaxis(s, (0, 1), (1, 3))
-    s = _extract_axis(s, G, m, P)
-    s = jnp.transpose(s, (0, 2, 3, 1, 4, 5)).reshape(nyz, nyz, G, W, W * 3)
-    s = s.reshape(n_rows, G, W, W * 3)
-    pad_head = s[:, G - XPAD // 2:]
-    pad_tail = s[:, :XPAD // 2]
-    slabs = jnp.concatenate([pad_head, s, pad_tail], axis=1)
+    # y/z-padded periodic grid (pads replicate the wrap)
+    gpad = jnp.pad(grid, ((0, 0), (half, P - half), (half, P - half), (0, 0)),
+                   mode="wrap")
 
-    cr = max(1, int(3e8 // max(R * W * W * 3 * 4, (G + XPAD) * W * W * 3 * 4)))
-
-    def one_row(args):
-        ur, vr, iyr, izr, sr = args
+    def body(_, args):
+        ur, vr, iyr, izr = args
         wx = _dense_axis_windows(geom, ur, vr, dtype)        # (R, G+XPAD)
         wy, wz = _dense_yz(geom, ur, iyr, izr, dtype)
+        zero = jnp.zeros((), iyr.dtype)
+        region = jax.lax.dynamic_slice(
+            gpad, (zero, iyr * m, izr * m, zero), (G, W, W, 3))
+        # x wrap pad: wrap-extend the region along x
+        ext = jnp.concatenate([region[G - XPAD // 2:], region,
+                               region[:XPAD // 2]], axis=0)
         zl = jnp.einsum("rx,xk->rk", wx,
-                        sr.reshape(G + XPAD, W * W * 3),
+                        ext.reshape(G + XPAD, W * W * 3),
                         precision=hi)                        # (R, W*W*3)
         zl = zl.reshape(R, W, W, 3)
         yred = jnp.sum(wy[:, :, None, None] * zl, axis=1)    # (R, W, 3)
-        return jnp.sum(wz[:, :, None] * yred, axis=1)        # (R, 3)
+        return None, jnp.sum(wz[:, :, None] * yred, axis=1)  # (R, 3)
 
-    out = jax.lax.map(one_row, (u, valid, iy_all, iz_all, slabs), batch_size=cr)
+    _, out = jax.lax.scan(body, None, (u, valid, iy_all, iz_all))
 
     perm_f = perm.reshape(-1)
     uacc = jnp.zeros((n + 1, 3), dtype).at[jnp.minimum(perm_f, n)].set(

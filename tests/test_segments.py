@@ -1,0 +1,50 @@
+"""Blocked sorted-id segmented reduction (ops/segments.py) vs segment_sum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mundy_tpu.ops.segments import segment_sum_sorted_blocked, segment_windows
+
+
+def _case(rng, n, mean, B, W, capacity):
+    counts = rng.poisson(mean, n)
+    ids = np.repeat(np.arange(n), counts)
+    ids = ids[:capacity] if ids.size >= capacity else np.pad(
+        ids, (0, capacity - ids.size), constant_values=n)
+    ids = np.sort(ids)
+    vals = rng.normal(size=(capacity, 3))
+    vals[ids >= n] = 0.0
+    return jnp.asarray(ids, jnp.int32), jnp.asarray(vals)
+
+
+def test_matches_segment_sum(rng):
+    n, B, W, cap = 1000, 64, 256, 2048
+    ids, vals = _case(rng, n, 1.3, B, W, cap)
+    win = segment_windows(ids, n, B, W)
+    assert not bool(win.overflow)
+    out = segment_sum_sorted_blocked(vals, ids, n, win)
+    ref = jax.ops.segment_sum(vals, ids, num_segments=n + 1)[:n]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_window_overflow_flags(rng):
+    n, B, cap = 256, 32, 1024
+    # everything piled on body 0: one block holds all pairs
+    ids = jnp.asarray(np.sort(np.zeros(900, np.int32).tolist() +
+                              [n] * (cap - 900)), jnp.int32)
+    win = segment_windows(ids, n, B, 512)
+    assert bool(win.overflow)
+    win2 = segment_windows(ids, n, B, 1024)
+    assert not bool(win2.overflow)
+
+
+def test_pad_run_not_counted(rng):
+    """Trailing pads (id == n) must not count into the last block."""
+    n, B = 64, 32
+    ids = jnp.asarray([0, 1, 5, 63] + [n] * 100, jnp.int32)
+    win = segment_windows(ids, n, B, 8)
+    assert not bool(win.overflow)
+    vals = jnp.zeros((104, 3)).at[:4].set(1.0)
+    out = segment_sum_sorted_blocked(vals, ids, n, win)
+    assert float(out.sum()) == 12.0

@@ -40,7 +40,6 @@ from mundy_tpu.mobility import (
     build_spectral_ewald,
     local_drag_mobility,
     rpy_apply_neighbors,
-    se_rpy_apply,
 )
 from mundy_tpu.neighbor import build_cell_list, make_cell_grid, neighbor_matrix
 

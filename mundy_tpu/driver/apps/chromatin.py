@@ -234,6 +234,21 @@ class ChromatinSim:
 
     def _build_nmat(self, pos: Array):
         c = self.config
+        n_cells = int((2 * self.domain) // (2 * self.search_radius))
+        if self.periodic and n_cells >= 5:
+            # gather-free row broad phase (the cell-list builder costs 10 s
+            # at 1M); bonded exclusions applied as a post-filter — the
+            # exclusion table is just (prev, next), two lane compares
+            from mundy_tpu.neighbor.rows import neighbor_matrix_rows
+            nmat = neighbor_matrix_rows(
+                pos, float(self.search_radius), (c.box_size,) * 3,
+                max_neighbors=min(c.max_neighbors, 16) + self.exclude.shape[1],
+            )
+            excl_hit = jnp.any(
+                nmat.idx[:, :, None] == self.exclude[:, None, :], axis=-1)
+            nmat = nmat._replace(mask=nmat.mask & ~excl_hit,
+                                 idx=jnp.where(excl_hit, self.N, nmat.idx))
+            return nmat, nmat, nmat.overflow
         metric = self.metric if self.periodic else None
         clist = build_cell_list(pos, self.grid, c.cell_capacity)
         nmat = neighbor_matrix(

@@ -78,6 +78,12 @@ class ChromatinConfig:
     num_steps: int = 100
     skin: float = 0.4
     max_neighbors: int = 32
+    # dedicated crosslinker candidate search (the reference runs separate
+    # searches per interaction class with their own AABB cutoffs,
+    # `HP1...neigh_linker.cpp:1436-1444`): candidates out to the radius
+    # where the Gaussian binding rate falls to kmc_rate_floor of its peak —
+    # the contact-scale search truncates BELOW the binding rest length
+    kmc_rate_floor: float = 1e-3
     cell_capacity: int = 16
     chunk: int = 16384
     seed: int = 1234
@@ -103,6 +109,7 @@ class ChromatinState:
     step: Array
     nmat: object
     hydro_nmat: object
+    kmc_nmat: object  # crosslinker candidate search (wider cutoff)
     ref_pos: Array
     rebuild_count: Array
     overflow: Array
@@ -118,6 +125,13 @@ class ChromatinSim:
         # or a periodic box when box_size > 0 (the spectral-hydro mode)
         self.periodic = c.box_size > 0
         self.search_radius = c.bead_radius + 0.5 * c.skin
+        # crosslinker capture radius: rest length + the Gaussian rate tail
+        # (rate/peak >= kmc_rate_floor), skin-buffered like the contact
+        # search so the same rebuild trigger keeps candidates valid
+        tail = _math.sqrt(2.0 * c.kt * _math.log(1.0 / c.kmc_rate_floor)
+                          / max(c.crosslinker_k, 1e-12))
+        self.kmc_capture = c.crosslinker_rest_length + tail
+        self.kmc_search_radius = 0.5 * (self.kmc_capture + c.skin)
         if self.periodic:
             extent = 0.5 * c.box_size
             self.metric = periodic(np.array([c.box_size] * 3), dtype=self.dtype)
@@ -131,7 +145,26 @@ class ChromatinSim:
                                        2 * self.search_radius, (False,) * 3,
                                        self.dtype)
         self.domain = extent
+        if self.X > 0:
+            kmc_cut = self.kmc_capture + c.skin
+            if self.periodic:
+                self.kmc_grid = make_cell_grid(
+                    [0, 0, 0], np.array([c.box_size] * 3), kmc_cut,
+                    (True,) * 3, self.dtype)
+            else:
+                self.kmc_grid = make_cell_grid(
+                    -extent * np.ones(3), extent * np.ones(3), kmc_cut,
+                    (False,) * 3, self.dtype)
+            # clustering-aware cell capacity: touching-bead chains pack to
+            # ~close packing locally regardless of the box-mean density
+            d = 2.0 * c.bead_radius
+            cell_vol = float(np.prod(np.asarray(self.kmc_grid.cell_size,
+                                                np.float64)))
+            pack = 0.74 / ((_math.pi / 6.0) * d ** 3) * cell_vol
+            cap = int(pack + 6.0 * _math.sqrt(pack + 4.0) + 8.0)
+            self.kmc_cell_capacity = min(((cap + 7) // 8) * 8, self.N)
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.bead_radius)
+        self.rows_slack = 1.9  # rows-broad-phase slot slack (regrow-grown)
         self.spectral = None
         if c.hydro == "rpy_spectral":
             from mundy_tpu.mobility.spectral import make_se_geometry
@@ -143,7 +176,20 @@ class ChromatinSim:
             self.spectral = build_spectral_ewald(
                 c.box_size, c.bead_radius, c.viscosity, tol=1e-4,
                 xi=s2 / r_cut, r_cut=r_cut, dtype=self.dtype)
-            self.se_geom = make_se_geometry(self.spectral, self.N)
+            # clustered chains exceed the Poisson-max slot bound of the
+            # near-uniform default: scale the SE binning row capacity by the
+            # local/mean density ratio of touching-bead chains (capped at
+            # close packing), mirroring the hydro_cells_grid bound below.
+            mean_per_vol = self.N / c.box_size ** 3
+            d = 2.0 * c.bead_radius
+            local_per_vol = 0.74 / (_math.pi / 6.0 * d ** 3)  # close packing
+            density_ratio = max(local_per_vol / max(mean_per_vol, 1e-30), 1.0)
+            # cap the slack: every gridding term scales with R, and a fully
+            # close-packed row column never occurs — overflow is flagged and
+            # the host regrow loop handles further densification
+            se_slack = min(density_ratio, 3.0)
+            self.se_geom = make_se_geometry(self.spectral, self.N,
+                                            capacity_slack=se_slack)
             # real-space correction runs on the dense 3D-cell engine (no
             # neighbor matrix: its K-pass build alone cost ~20 s at 262k
             # with wide hydro cutoffs). Cell capacity from the close-packing
@@ -219,45 +265,98 @@ class ChromatinSim:
             scale = jnp.minimum(1.0, max_r / jnp.maximum(jnp.max(r), 1e-6))
             pos = pos * scale
 
+        if self.spectral is not None:
+            # right-size the SE binning row capacity from the MEASURED
+            # initial occupancy (clustered chains beat any density-ratio
+            # heuristic); the sticky overflow flag + host regrow catch
+            # later densification
+            g = self.se_geom
+            h = c.box_size / g.G
+            p = np.asarray(pos)
+            nyz = g.G // g.m
+            iy = np.clip((p[:, 1] / (g.m * h)).astype(int), 0, nyz - 1)
+            iz = np.clip((p[:, 2] / (g.m * h)).astype(int), 0, nyz - 1)
+            occ = int(np.bincount(iy * nyz + iz, minlength=nyz * nyz).max())
+            need = ((int(occ * 1.5) + 8 + 7) // 8) * 8
+            if need > g.R:
+                self.se_geom = g._replace(R=need)
+
         home = jnp.asarray(
             rng.integers(0, self.N, size=max(self.X, 1))[: self.X], jnp.int32
         )
-        nmat, hmat, ovf = self._build_nmat(pos)
+        nmat, hmat, kmat, ovf = self._build_nmat(pos, home)
         return ChromatinState(
             pos=pos, xl_home=home,
             xl_state=jnp.full((self.X,), BINDING_STATE.LEFT_BOUND, jnp.int32),
             xl_bound_to=jnp.full((self.X,), -1, jnp.int32),
             key=ks, step=jnp.asarray(0, jnp.int32), nmat=nmat,
-            hydro_nmat=hmat, ref_pos=pos,
+            hydro_nmat=hmat, kmc_nmat=kmat, ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf,
         )
 
-    def _build_nmat(self, pos: Array):
+    def _build_search(self, pos: Array, search_radius: float,
+                      max_neighbors: int, exclude=None):
+        """One neighbor search at its own cutoff (the reference runs a
+        separate GenNeighborLinkers per interaction class with distinct
+        search AABBs, `HP1...neigh_linker.cpp:1436-1444`). Row broad phase
+        when the box is wide enough, cell-list otherwise."""
         c = self.config
-        n_cells = int((2 * self.domain) // (2 * self.search_radius))
+        n_cells = int((2 * self.domain) // (2 * search_radius))
         if self.periodic and n_cells >= 5:
             # gather-free row broad phase (the cell-list builder costs 10 s
-            # at 1M); bonded exclusions applied as a post-filter — the
-            # exclusion table is just (prev, next), two lane compares
+            # at 1M); exclusions applied as a post-filter — the exclusion
+            # table is just (prev, next), two lane compares
             from mundy_tpu.neighbor.rows import neighbor_matrix_rows
+            n_excl = 0 if exclude is None else exclude.shape[1]
             nmat = neighbor_matrix_rows(
-                pos, float(self.search_radius), (c.box_size,) * 3,
-                max_neighbors=min(c.max_neighbors, 16) + self.exclude.shape[1],
+                pos, float(search_radius), (c.box_size,) * 3,
+                max_neighbors=max_neighbors + n_excl,
+                capacity_slack=self.rows_slack,
             )
-            excl_hit = jnp.any(
-                nmat.idx[:, :, None] == self.exclude[:, None, :], axis=-1)
-            nmat = nmat._replace(mask=nmat.mask & ~excl_hit,
-                                 idx=jnp.where(excl_hit, self.N, nmat.idx))
-            return nmat, nmat, nmat.overflow
+            if exclude is not None:
+                excl_hit = jnp.any(
+                    nmat.idx[:, :, None] == exclude[:, None, :], axis=-1)
+                nmat = nmat._replace(mask=nmat.mask & ~excl_hit,
+                                     idx=jnp.where(excl_hit, self.N, nmat.idx))
+            return nmat, nmat.overflow
         metric = self.metric if self.periodic else None
         clist = build_cell_list(pos, self.grid, c.cell_capacity)
         nmat = neighbor_matrix(
-            pos, clist, jnp.asarray(self.search_radius, self.dtype),
-            metric=metric, max_neighbors=c.max_neighbors,
-            chunk=min(c.chunk, max(256, self.N)), exclude=self.exclude,
+            pos, clist, jnp.asarray(search_radius, self.dtype),
+            metric=metric, max_neighbors=max_neighbors,
+            chunk=min(c.chunk, max(256, self.N)), exclude=exclude,
         )
-        ovf = clist.overflow | nmat.overflow
-        return nmat, nmat, ovf
+        return nmat, clist.overflow | nmat.overflow
+
+    def _build_kmc_candidates(self, pos: Array, home: Array):
+        """Crosslinker candidate search at its own cutoff (the reference
+        gives each interaction class its own search AABBs,
+        `HP1...neigh_linker.cpp:1436-1444`): the contact-scale search cuts
+        off BELOW crosslinker_rest_length, hiding the Gaussian binding
+        rate's peak from KMC. Queries only the X home beads against a
+        capture-radius cell list (O(X * 27 * cap) gathers, no N-wide
+        matrix). Returns NeighborMatrix with (X, 27*cap) rows."""
+        from mundy_tpu.neighbor.cell_list import (
+            NeighborMatrix,
+            neighbor_candidates,
+        )
+
+        clist = build_cell_list(pos, self.kmc_grid, self.kmc_cell_capacity)
+        cand = neighbor_candidates(pos[home], clist)  # (X, 27*cap)
+        idx = jnp.where((cand >= 0) & (cand != home[:, None]), cand, self.N)
+        return NeighborMatrix(idx=idx, mask=idx < self.N,
+                              overflow=clist.overflow), clist.overflow
+
+    def _build_nmat(self, pos: Array, home: Optional[Array] = None):
+        c = self.config
+        nmat, ovf = self._build_search(pos, self.search_radius,
+                                       c.max_neighbors, self.exclude)
+        if self.X > 0:
+            kmat, kovf = self._build_kmc_candidates(pos, home)
+            ovf = ovf | kovf
+        else:
+            kmat = nmat
+        return nmat, nmat, kmat, ovf
 
     # ------------------------------------------------------------------
     def _kmc(self, state: ChromatinState) -> ChromatinState:
@@ -267,8 +366,12 @@ class ChromatinSim:
             return state
         pos = state.pos
         home_pos = pos[state.xl_home]  # (X, 3)
-        cand_idx = jnp.minimum(state.nmat.idx[state.xl_home], self.N - 1)  # (X, K)
-        cand_mask = state.nmat.mask[state.xl_home]
+        # candidates from the DEDICATED per-crosslinker search (rows are
+        # per-crosslinker, not per-bead): its cutoff covers the Gaussian
+        # rate out to the kmc_rate_floor tail, unlike the contact-scale
+        # nmat (whose cutoff sits below the rest length)
+        cand_idx = jnp.minimum(state.kmc_nmat.idx, self.N - 1)  # (X, K)
+        cand_mask = state.kmc_nmat.mask
         sep = (self.metric.sep(home_pos[:, None, :], pos[cand_idx])
                if self.periodic else pos[cand_idx] - home_pos[:, None, :])
         dr = jnp.linalg.norm(sep, axis=-1)
@@ -334,10 +437,12 @@ class ChromatinSim:
             from mundy_tpu.ops.pallas.se_grid import se_bin_dense
             pieces = se_bin_dense(self.se_geom, state.pos, self.dtype)
             cells = build_cells3d(state.pos, self.hydro_cells_grid)
-            vel = se_rpy_apply_cells(self.spectral, cells, state.pos, f,
-                                     (c.box_size,) * 3, self.se_geom,
-                                     pieces=pieces)
-            state = state.replace(overflow=state.overflow | cells.overflow)
+            vel, se_ovf = se_rpy_apply_cells(self.spectral, cells, state.pos,
+                                             f, (c.box_size,) * 3,
+                                             self.se_geom, pieces=pieces)
+            # both SE binning rows and 3D cells drop bodies on overflow
+            state = state.replace(
+                overflow=state.overflow | cells.overflow | se_ovf)
         else:
             vel = rpy_apply_neighbors(state.pos, f, state.nmat, c.bead_radius,
                                       c.viscosity, overlap_correction=True)
@@ -351,8 +456,9 @@ class ChromatinSim:
         return state.replace(pos=new_pos, step=state.step + 1)
 
     def _rebuild(self, state: ChromatinState) -> ChromatinState:
-        nmat, hmat, ovf = self._build_nmat(state.pos)
-        return state.replace(nmat=nmat, hydro_nmat=hmat, ref_pos=state.pos,
+        nmat, hmat, kmat, ovf = self._build_nmat(state.pos, state.xl_home)
+        return state.replace(nmat=nmat, hydro_nmat=hmat, kmc_nmat=kmat,
+                             ref_pos=state.pos,
                              rebuild_count=state.rebuild_count + 1,
                              overflow=state.overflow | ovf)
 
@@ -393,23 +499,43 @@ class ChromatinSim:
         import jax.numpy as _jnp
         return self._run_jit(state, _jnp.asarray(n_steps, _jnp.int32))
 
+    def regrow(self, state: ChromatinState) -> ChromatinState:
+        """Grow every overflow-bounded capacity (contact cells/K, rows
+        slack, KMC candidate cells, SE binning rows, hydro 3D cells) and
+        rebuild the searches from the state's positions (driver/regrow.py)."""
+        from mundy_tpu.driver.regrow import grow_int
+
+        c = self.config
+        c.cell_capacity = grow_int(c.cell_capacity)
+        c.max_neighbors = grow_int(c.max_neighbors)
+        self.rows_slack *= 1.5
+        if self.X > 0:
+            self.kmc_cell_capacity = min(grow_int(self.kmc_cell_capacity),
+                                         self.N)
+        if self.spectral is not None:
+            self.se_geom = self.se_geom._replace(
+                R=grow_int(self.se_geom.R))
+            g3 = self.hydro_cells_grid
+            self.hydro_cells_grid = g3.replace(
+                capacity=grow_int(g3.capacity))
+        self.__dict__.pop("_run_jit", None)
+        nmat, hmat, kmat, ovf = self._build_nmat(state.pos, state.xl_home)
+        return state.replace(nmat=nmat, hydro_nmat=hmat, kmc_nmat=kmat,
+                             ref_pos=state.pos, overflow=ovf)
+
     def run(self, state: Optional[ChromatinState] = None, log=print):
+        from mundy_tpu.driver.regrow import run_blocks
+
         c = self.config
         if state is None:
             state = self.init()
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        done = 0
-        while done < c.num_steps:
-            block = min(c.log_every, c.num_steps - done)
-            state = self.run_block(state, block)
-            jax.block_until_ready(state)
-            done += block
-            tps = done / (time.perf_counter() - t0)
-            bound = int(jnp.sum(state.xl_state == BINDING_STATE.DOUBLY_BOUND)) if self.X else 0
-            log(f"step {done}/{c.num_steps}  tps={tps:.2f}  "
-                f"doubly_bound={bound}/{self.X}  rebuilds={int(state.rebuild_count)}  "
-                f"overflow={bool(state.overflow)}")
-        if bool(state.overflow):
-            raise RuntimeError("capacity overflow")
-        return state
+
+        def status(s, done, tps):
+            bound = (int(jnp.sum(s.xl_state == BINDING_STATE.DOUBLY_BOUND))
+                     if self.X else 0)
+            return (f"step {done}/{c.num_steps}  tps={tps:.2f}  "
+                    f"doubly_bound={bound}/{self.X}  "
+                    f"rebuilds={int(s.rebuild_count)}  "
+                    f"overflow={bool(s.overflow)}")
+
+        return run_blocks(self, state, c.num_steps, c.log_every, log, status)

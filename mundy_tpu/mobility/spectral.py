@@ -224,12 +224,18 @@ def _k_apply(op: SpectralEwaldRPY, grid: Array) -> Array:
     return ugrid * (op.base.box ** 3)
 
 
-def make_se_geometry(op: SpectralEwaldRPY, n_particles: int):
-    """Row-gridding geometry for the Pallas spread/interp kernels."""
+def make_se_geometry(op: SpectralEwaldRPY, n_particles: int,
+                     capacity_slack: float = 1.15):
+    """Row-gridding geometry for the Pallas spread/interp kernels.
+
+    `capacity_slack` scales the Poisson-max slot bound: the default fits
+    near-uniform suspensions; clustered systems (touching-bead chains) need
+    more — overflowed slots are dropped from the wave sum (flagged)."""
     from mundy_tpu.ops.pallas.se_grid import make_se_grid_rows
 
     return make_se_grid_rows(op.grid_n, op.support, op.base.box,
-                             op.base.xi, op.eta, n_particles)
+                             op.base.xi, op.eta, n_particles,
+                             capacity_slack=capacity_slack)
 
 
 def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,
@@ -285,18 +291,23 @@ def se_wave_apply_dense(op: SpectralEwaldRPY, geom, pos: Array,
 
 def se_rpy_apply_cells(op: SpectralEwaldRPY, cells, pos: Array,
                        forces: Array, box_lengths, geom,
-                       pieces=None) -> Array:
+                       pieces=None):
     """Full periodic RPY product with the dense 3D-cell real-space engine
     (neighbor.cells3d) + dense MXU wave gridding — the at-scale path: no
     neighbor matrix anywhere (its K-pass build cost 20 s at 262k with wide
     hydro cutoffs). The cells engine's self-pair term IS self_coeff, so no
     separate self add. `cells` from build_cells3d with edge >= base.r_cut,
-    rebuilt whenever positions move (one sort + scatter)."""
+    rebuilt whenever positions move (one sort + scatter).
+
+    Returns (u, overflow): `overflow` flags SE-grid binning row overflow —
+    an overflowed slot is DROPPED from the wave sum, so callers must fold
+    this into their sticky overflow flag (silently wrong hydrodynamics
+    otherwise)."""
     from mundy_tpu.mobility.ewald import ewald_real_apply_cells
 
     u = ewald_real_apply_cells(op.base, cells, forces, box_lengths)
-    uw, _ovf = se_wave_apply_dense(op, geom, pos, forces, pieces=pieces)
-    return u + uw
+    uw, ovf = se_wave_apply_dense(op, geom, pos, forces, pieces=pieces)
+    return u + uw, ovf
 
 
 def se_rpy_apply(op: SpectralEwaldRPY, pos: Array, forces: Array,

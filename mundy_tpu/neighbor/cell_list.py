@@ -192,6 +192,26 @@ def _compact_rows(cand: Array, ok: Array, k: int, empty_marker: int):
     return jnp.where(found, idx, empty_marker), found, count
 
 
+def neighbor_candidates(query_pos: Array, clist: CellList) -> Array:
+    """(Q, 27*cap) candidate particle ids (-1 = empty) around each query
+    position — the raw 27-cell stencil, no distance filter, no compaction.
+
+    The subset-query primitive (the reference searches each interaction
+    class separately, `HP1...neigh_linker.cpp:1436-1444`): for Q query
+    points (e.g. crosslinker heads, Q << N) this costs Q * 27 * cap gathers
+    instead of an N-wide neighbor-matrix build. All bodies within
+    (cell_edge) of a query are guaranteed present; callers mask/weight by
+    distance themselves."""
+    grid = clist.grid
+    cap = clist.entries.shape[1]
+    q = query_pos.shape[0]
+    coords = _cell_coords(grid, query_pos)
+    cells27, valid27 = _neighbor_cells_of(grid, coords)  # (Q, 27)
+    cand = clist.entries[cells27]  # (Q, 27, cap)
+    cand = jnp.where(valid27[..., None], cand, -1)
+    return cand.reshape(q, 27 * cap)
+
+
 def neighbor_matrix(
     pos: Array,
     clist: CellList,

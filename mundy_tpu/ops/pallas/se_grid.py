@@ -248,6 +248,11 @@ def se_bin_dense(geom: SEGridRows, pos: Array, dtype=jnp.float32):
 
     Returns (perm, overflow, u (n_rows, R, 3), valid (n_rows, R)).
     """
+    if geom.P > XPAD:
+        raise ValueError(
+            f"window support P={geom.P} exceeds the dense-gridding x wrap "
+            f"pad XPAD={XPAD}: wrapped window mass would be silently "
+            "truncated (use the sparse row kernels for P > 16)")
     perm, overflow = _bin_rows(geom, pos)
     n = pos.shape[0]
     h = geom.box / geom.G
@@ -304,6 +309,9 @@ def se_spread_dense(geom: SEGridRows, pieces_dense, forces: Array) -> Array:
     O(n_rows * G * W^2) is ever materialized (the all-slabs layout costs
     10+ GB at G=512/1M bodies). Pad P per axis covers the W-window
     overhang; periodic wrap is two dense edge folds at the end."""
+    if geom.P > XPAD:
+        raise ValueError(f"P={geom.P} > XPAD={XPAD}: wrapped x window mass "
+                         "would be silently truncated")
     G, m, P, R = geom.G, geom.m, geom.P, geom.R
     W = m + P
     nyz = G // m

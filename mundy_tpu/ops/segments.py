@@ -6,8 +6,10 @@ scatter lowers to a serial per-window loop). For SORTED ids the reduction
 can ride the MXU instead: partition bodies into blocks of B, slice each
 block's contiguous pair window (<= W pairs, found by binary search at
 rebuild), and reduce with a (B, W) one-hot matmul. bf16 one-hot entries are
-exact; values go through a hi/lo bf16 split so the f32 result is exact to
-~1 ulp. Measured 11.3 ms for the same (800k, 3) reduction — 6.2x.
+exact; values go through a hi/lo bf16 split capturing ~16 of the 24 f32
+mantissa bits, so each summand carries ~2^-16 relative error (ample for
+force accumulation; NOT 1-ulp f32). Measured 11.3 ms for the same (800k, 3)
+reduction — 6.2x.
 
 This is the force-assembly primitive of the LCP collision path (the
 reference's `sum_collision_force`, `scrap/lcp_spheres/StkNgpLCP.cpp:578`,
@@ -85,8 +87,11 @@ def segment_sum_sorted_blocked(
             return jnp.dot(onehot.astype(values.dtype), vw,
                            precision=jax.lax.Precision.HIGHEST)
         oh = onehot.astype(jnp.bfloat16)
-        hi = vw.astype(jnp.bfloat16)
-        # barrier keeps XLA from refolding hi + lo back into one bf16 dot
+        # barriers keep XLA from collapsing the f32->bf16->f32 round trips
+        # (hi included — otherwise CPU folds hi back to the f32 value and
+        # tests never see the real MXU-path precision) or refolding hi + lo
+        # into one bf16 dot
+        hi = jax.lax.optimization_barrier(vw.astype(jnp.bfloat16))
         lo = jax.lax.optimization_barrier(
             (vw - hi.astype(jnp.float32)).astype(jnp.bfloat16))
         return (jnp.dot(oh, hi, preferred_element_type=jnp.float32)

@@ -51,6 +51,70 @@ def test_periphery_confines():
     assert r.max() < R + 0.5  # at most marginal poke-out against the wall
 
 
+def test_kmc_candidates_reach_rest_length():
+    """Regression (round-1 VERDICT): crosslinker candidates were drawn from
+    the CONTACT neighbor matrix, whose pair cutoff (2r + skin = 1.4 at
+    defaults) sits below crosslinker_rest_length = 1.5 — the Gaussian
+    binding rate's peak was invisible to KMC. The dedicated KMC search must
+    see a partner placed exactly at the rest length."""
+    c = cfg(num_crosslinkers=4)
+    sim = ChromatinSim(c)
+    # the regression precondition: contact cutoff < rest length
+    assert 2 * sim.search_radius < c.crosslinker_rest_length
+    state = sim.init()
+    pos = np.asarray(state.pos).copy()
+    home = int(np.asarray(state.xl_home)[0])
+    partner = (home + c.beads_per_chain) % sim.N  # bead of the other chain
+    # park the partner exactly at the binding rest length, away from others
+    pos[home] = np.array([40.0, 0.0, 0.0])
+    pos[partner] = pos[home] + np.array([c.crosslinker_rest_length, 0, 0])
+    nmat, _h, kmat, _ovf = sim._build_nmat(jnp.asarray(pos), state.xl_home)
+    in_contact = bool(jnp.any((nmat.idx[home] == partner) & nmat.mask[home]))
+    # kmat rows are per-crosslinker: row 0 belongs to crosslinker 0
+    in_kmc = bool(jnp.any((kmat.idx[0] == partner) & kmat.mask[0]))
+    assert not in_contact  # the old candidate source misses it...
+    assert in_kmc  # ...the dedicated search finds it
+
+
+def test_kmc_candidate_set_brute_force_parity():
+    """Every bead within the capture radius of a home bead must appear in
+    its KMC candidate row (barring K overflow, which must then be flagged)."""
+    c = cfg(num_crosslinkers=8)
+    sim = ChromatinSim(c)
+    state = sim.init()
+    pos = np.asarray(state.pos)
+    _n, _h, kmat, ovf = sim._build_nmat(state.pos, state.xl_home)
+    idx = np.asarray(kmat.idx)
+    mask = np.asarray(kmat.mask)
+    for x in range(sim.X):
+        home = int(np.asarray(state.xl_home)[x])
+        d = np.linalg.norm(pos - pos[home], axis=1)
+        want = set(np.nonzero((d <= sim.kmc_capture) & (d > 0))[0].tolist())
+        got = set(idx[x][mask[x]].tolist())
+        missing = want - got
+        assert not missing or bool(ovf), (home, sorted(missing))
+
+
+def test_kmc_binds_beyond_contact_cutoff():
+    """End-to-end: with positions effectively frozen (dt ~ 0), KMC must form
+    doubly-bound crosslinkers at separations past the old contact cutoff."""
+    c = cfg(num_crosslinkers=24, binding_rate=2e4, unbinding_rate=0.0,
+            diffusion_coeff=0.0, dt=1e-7)
+    sim = ChromatinSim(c)
+    state = sim.init()
+    state = sim.run_block(state, 100)
+    st = np.asarray(state.xl_state)
+    bt = np.asarray(state.xl_bound_to)
+    pos = np.asarray(state.pos)
+    hp = pos[np.asarray(state.xl_home)]
+    doubly = st == BINDING_STATE.DOUBLY_BOUND
+    assert doubly.any()
+    d = np.linalg.norm(pos[np.maximum(bt, 0)] - hp, axis=1)[doubly]
+    # Hilbert-curve chains offer abundant partners at sqrt(2) and 2.0 bead
+    # diameters — past the 1.4 contact cutoff that used to truncate KMC
+    assert d.max() > 2 * sim.search_radius
+
+
 def test_rpy_hydro_runs():
     sim = ChromatinSim(cfg(hydro="rpy_neighbors", num_steps=20))
     state = sim.run_block(sim.init(), 20)

@@ -28,6 +28,24 @@ def test_matches_segment_sum(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
 
 
+def test_f32_bf16_split_accuracy(rng):
+    """The f32 path reduces via bf16 hi/lo MXU dots: ~16 of 24 mantissa
+    bits per summand (~2^-16 relative), NOT exact. Both hi and lo sit
+    behind optimization barriers, so this exercises the real MXU-path
+    rounding even on CPU (where XLA would otherwise fold the f32->bf16->
+    f32 round trip away and the test would vacuously pass at 1e-10)."""
+    n, B, W, cap = 1000, 64, 256, 2048
+    ids, vals = _case(rng, n, 1.3, B, W, cap)
+    vals32 = vals.astype(jnp.float32)
+    win = segment_windows(ids, n, B, W)
+    out = segment_sum_sorted_blocked(vals32, ids, n, win)
+    assert out.dtype == jnp.float32
+    ref = jax.ops.segment_sum(vals, ids, num_segments=n + 1)[:n]
+    scale = float(jnp.max(jnp.abs(vals)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5 * scale)
+
+
 def test_window_overflow_flags(rng):
     n, B, cap = 256, 32, 1024
     # everything piled on body 0: one block holds all pairs

@@ -25,37 +25,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def run_one(n_devices: int, npart: int, steps: int, box: float) -> dict:
+    """Drives the FLAGSHIP sharded engine (parallel/slab_rows.py: z-slab
+    row layout, ppermute halos, fused nested-while run loop) — the same
+    engine dryrun_multichip validates and the row bench measures."""
     from jax.sharding import Mesh
-    from mundy_tpu.parallel import make_slab_spheres_step
+    from mundy_tpu.parallel.slab_rows import make_slab_rows_spheres_step
 
     devs = jax.devices()[:n_devices]
     mesh = Mesh(devs, ("shard",))
-    step_fn, init_fn = make_slab_spheres_step(
+    init_fn, step_fn, _grid = make_slab_rows_spheres_step(
         mesh, "shard", n_total=npart, box_size=box, radius=0.5,
-        diffusion=0.1, dt=1e-4, max_neighbors=32, cell_capacity=16)
-    pos, active, gid, ovf = init_fn(jax.random.PRNGKey(0))
-    key = jax.random.PRNGKey(1)
+        youngs=1000.0, diffusion=0.1, dt=1e-4, skin=0.4)
+    state = init_fn(jax.random.PRNGKey(0))
 
     # warmup/compile
-    pos, active, gid, ovf, _ = step_fn(pos, active, gid, ovf, key,
-                                       jnp.asarray(0, jnp.int32))
-    jax.block_until_ready(pos)
-
-    t0 = time.perf_counter()
-    for s in range(1, steps + 1):
-        pos, active, gid, ovf, _ = step_fn(pos, active, gid, ovf, key,
-                                           jnp.asarray(s, jnp.int32))
+    state = step_fn(state, 1)
     # scalar readback: block_until_ready returns early on the tunneled
     # axon runtime; only a device->host transfer is a reliable fence
-    float(jnp.ravel(pos)[0])
+    float(jnp.ravel(state["pos"])[0])
+
+    t0 = time.perf_counter()
+    state = step_fn(state, steps)
+    float(jnp.ravel(state["pos"])[0])
     elapsed = time.perf_counter() - t0
     return {
         "n_devices": n_devices,
         "npart": npart,
         "steps": steps,
+        "engine": "slab_rows",
         "tps": steps / elapsed,
         "particle_steps_per_sec": npart * steps / elapsed,
-        "overflow_flags": int(ovf),
+        "overflow": bool(state["overflow"]),
     }
 
 

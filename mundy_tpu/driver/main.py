@@ -44,6 +44,11 @@ def main(argv=None):
                     help="steps between checkpoints (0 = only at end)")
     ap.add_argument("--continue", dest="resume", action="store_true",
                     help="resume from the latest checkpoint if present")
+    ap.add_argument("--output-dir", default=None,
+                    help="directory for trajectory frames + final VTK "
+                         "(the IOBroker results role)")
+    ap.add_argument("--output-every", type=int, default=0,
+                    help="steps between trajectory frames (0 = final only)")
     ap.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
     args = ap.parse_args(argv)
 
@@ -63,27 +68,63 @@ def main(argv=None):
     config, sim = build_simulation_from_yaml(args.config, overrides)
     print(f"app config: {config}")
 
+    if not hasattr(sim, "run_block"):
+        raise SystemExit(
+            f"app {type(sim).__name__} does not expose run_block(state, "
+            "n_steps) — every driver app must")
+
     state = sim.init()
     start_step = 0
     if args.resume and args.checkpoint_dir:
         ck = latest_checkpoint(args.checkpoint_dir)
         if ck is not None:
             state = load_checkpoint(ck, state)
-            start_step = int(state.step)
+            start_step = int(getattr(state, "step", 0))
             print(f"resumed from {ck} at step {start_step}")
 
     total = config.num_steps
-    block = args.checkpoint_every or total
+    broker = None
+    if args.output_dir:
+        from mundy_tpu.io.broker import ResultsBroker
+
+        broker = ResultsBroker(args.output_dir, 0, args.output_every,
+                               dt=float(getattr(config, "dt", 0.0)),
+                               append=start_step > 0)
+        if start_step == 0:
+            broker.write_frame(0, sim, state)  # initial configuration
+
+    # block size = the finest positive cadence among checkpointing and
+    # results output (the reference's io_frequency / PeriodicTrigger role)
+    cadences = [v for v in (args.checkpoint_every, args.output_every) if v > 0]
+    block = min(cadences) if cadences else total
     done = start_step
+    regrows = 0
     while done < total:
         n = min(block, total - done)
-        sub = sim.run_block(state, n) if hasattr(sim, "run_block") else None
-        state = sub
-        jax.block_until_ready(state)
+        new_state = sim.run_block(state, n)
+        jax.block_until_ready(new_state)
+        if (bool(getattr(new_state, "overflow", False))
+                and hasattr(sim, "regrow")):
+            if regrows >= 8:
+                raise SystemExit("capacity overflow persists after regrows")
+            regrows += 1
+            print(f"capacity overflow: regrow #{regrows}, retrying block")
+            state = sim.regrow(state)
+            continue
+        state = new_state
         done += n
         print(f"step {done}/{total}")
-        if args.checkpoint_dir:
+        if broker is not None:
+            broker.maybe_write(done, sim, state)
+        if args.checkpoint_dir and (
+                done >= total
+                or (args.checkpoint_every > 0
+                    and done % args.checkpoint_every == 0)):
             save_checkpoint(args.checkpoint_dir, done, state)
+    if broker is not None:
+        vtk = broker.finalize(done, sim, state)
+        print(f"wrote {broker.frames_written} trajectory frames to "
+              f"{broker.trajectory_path}; final snapshot {vtk}")
     print("done")
     return 0
 

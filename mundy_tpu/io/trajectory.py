@@ -120,6 +120,12 @@ class TrajectoryReader:
             self._lib.mundy_traj_close_read(self._h)
             self._h = None
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
 
 def hilbert_keys_native(pos, domain_low, domain_high, bits: int = 10) -> Optional[np.ndarray]:
     """Batch Hilbert keys via the C++ path (None if unavailable)."""

@@ -10,6 +10,7 @@ from mundy_tpu.constraints.collision import (
     collision_setup_spheres,
     resolve_collisions,
     collision_forces,
+    remap_gamma,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "collision_setup_spheres",
     "resolve_collisions",
     "collision_forces",
+    "remap_gamma",
 ]

@@ -51,6 +51,31 @@ class CollisionSetup(NamedTuple):
     windows: Optional[object] = None  # SegmentWindows for the ordered layout
 
 
+def remap_gamma(old_pairs: PairList, old_gamma: Array, new_pairs: PairList,
+                probes: int) -> Array:
+    """Carry warm-start multipliers across a pair-list rebuild BY PAIR
+    IDENTITY (i, j), not by slot.
+
+    A rebuild re-sorts the pair list, so slot k before != slot k after —
+    passing gamma through by slot scrambles the warm start exactly on the
+    expensive (post-rebuild) steps. Both lists are sorted by i with padded
+    slots at i = N (build_pair_list_ordered), so each new pair finds its
+    old slot with one vectorized searchsorted (start of the old i-run) plus
+    `probes` j-comparisons (`probes` >= the broad phase's max neighbors per
+    body bounds the run length). Unmatched (fresh) pairs start at 0.
+    """
+    c_old = old_pairs.i.shape[0]
+    start = jnp.searchsorted(old_pairs.i, new_pairs.i).astype(jnp.int32)
+    out = jnp.zeros(new_pairs.i.shape, old_gamma.dtype)
+    for t in range(probes):
+        idx = jnp.minimum(start + t, c_old - 1)
+        hit = ((old_pairs.i[idx] == new_pairs.i)
+               & (old_pairs.j[idx] == new_pairs.j)
+               & old_pairs.mask[idx] & new_pairs.mask)
+        out = jnp.where(hit, old_gamma[idx], out)
+    return out
+
+
 def pair_j_permutation(pairs: PairList, n_bodies: int) -> Array:
     """Rebuild-time permutation sorting pairs by j (padded slots last)."""
     key = jnp.where(pairs.mask, pairs.j, n_bodies)

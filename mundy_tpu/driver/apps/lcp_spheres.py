@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from mundy_tpu.constraints import collision_setup_spheres, resolve_collisions
+from mundy_tpu.constraints import (
+    collision_setup_spheres,
+    remap_gamma,
+    resolve_collisions,
+)
 from mundy_tpu.ops.segments import SegmentWindows, segment_windows
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity, euler_step
@@ -102,6 +106,9 @@ class LCPSpheresSim:
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
         self.seg_block = 1024  # bodies per assembly block
         self.seg_window = max(2048, 8 * self.seg_block)
+        # rows-broad-phase caps, grown by regrow() on overflow
+        self.rows_k = 12
+        self.rows_slack = 1.9
         self.ewald = None
         self.spectral = None
         if c.hydro == "rpy_spectral":
@@ -132,6 +139,14 @@ class LCPSpheresSim:
                 2 * self.hydro_search, (True,) * 3, self.dtype)
         self._step_jit = jax.jit(self._step)
 
+    def _pair_run_bound(self) -> int:
+        """Max pairs per body = the broad phase's neighbor cap (rows path
+        caps at rows_k; cell-list path uses max_neighbors)."""
+        c = self.config
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        return (min(c.max_neighbors, self.rows_k) if n_cells >= 5
+                else c.max_neighbors)
+
     def _broad_phase(self, pos):
         c = self.config
         # row-layout broad phase when applicable (gather-free; ~10-30x faster
@@ -140,7 +155,8 @@ class LCPSpheresSim:
         if n_cells >= 5:
             nmat = neighbor_matrix_rows(
                 pos, float(self.search_radius), (c.box_size,) * 3,
-                max_neighbors=min(c.max_neighbors, 12),
+                max_neighbors=min(c.max_neighbors, self.rows_k),
+                capacity_slack=self.rows_slack,
             )
             clist_ovf = jnp.asarray(False)
         else:
@@ -212,16 +228,25 @@ class LCPSpheresSim:
 
     def _rebuild(self, state: LCPSpheresState) -> LCPSpheresState:
         nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(state.pos)
+        # warm-start multipliers survive the rebuild BY PAIR IDENTITY: the
+        # re-sorted list scrambles slots exactly when the solve is most
+        # expensive (weak #5); probes bounds the per-body pair run
+        gamma = remap_gamma(state.pairs, state.gamma, pairs,
+                            probes=self._pair_run_bound())
         return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
-                             seg_starts=seg_starts,
+                             seg_starts=seg_starts, gamma=gamma,
                              ref_pos=state.pos,
                              rebuild_count=state.rebuild_count + 1,
                              overflow=state.overflow | ovf)
 
     def _mobility(self, pos, nmat):
+        """Returns (apply_fn, overflow): `overflow` flags per-step hydro
+        data-structure overflow (SE binning rows / 3D cells), which DROPS
+        bodies from the mobility sum and must reach state.overflow."""
         c = self.config
+        no_ovf = jnp.asarray(False)
         if c.hydro == "none":
-            return lambda f: local_drag_mobility(f, c.radius, c.viscosity)
+            return (lambda f: local_drag_mobility(f, c.radius, c.viscosity)), no_ovf
         if c.hydro == "rpy_spectral":
             # bin + build cells once per step: positions are fixed across
             # the O(10-100) mobility applies of the BBPGD solve. Dense MXU
@@ -232,15 +257,19 @@ class LCPSpheresSim:
             from mundy_tpu.ops.pallas.se_grid import se_bin_dense
             pieces = se_bin_dense(self.se_geom, pos, self.dtype)
             cells = build_cells3d(pos, self.hydro_cells_grid)
-            return lambda f: se_rpy_apply_cells(
+            # overflow: binning rows (pieces[1]) and cells — both DROP
+            # bodies from the hydro sum, so surface them to the caller
+            ovf = pieces[1] | cells.overflow
+            return (lambda f: se_rpy_apply_cells(
                 self.spectral, cells, pos, f, (c.box_size,) * 3,
-                self.se_geom, pieces=pieces)
+                self.se_geom, pieces=pieces)[0]), ovf
         if c.hydro == "rpy_ewald":
-            return lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat, self.metric)
-        return lambda f: rpy_apply_neighbors(
+            return (lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat,
+                                              self.metric)), no_ovf
+        return (lambda f: rpy_apply_neighbors(
             pos, f, nmat, c.radius, c.viscosity, metric=self.metric,
             overlap_correction=True,
-        )
+        )), no_ovf
 
     def _inner_step(self, state: LCPSpheresState) -> LCPSpheresState:
         """Constraint assembly + BBPGD + Euler against the skin-buffered pair
@@ -263,7 +292,8 @@ class LCPSpheresSim:
         setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
                                         pairs, metric=self.metric,
                                         windows=windows)
-        mobility = self._mobility(pos, state.hydro_nmat)
+        mobility, hydro_ovf = self._mobility(pos, state.hydro_nmat)
+        overflow = overflow | hydro_ovf
 
         # warm start from previous multipliers (same slot layout only if the
         # pair list is stable; stale slots are safe — just a warm guess)
@@ -334,26 +364,43 @@ class LCPSpheresSim:
             self._run_jit = jax.jit(self._run_n)
         return self._run_jit(state, jnp.asarray(n_steps, jnp.int32))
 
+    def regrow(self, state: LCPSpheresState) -> LCPSpheresState:
+        """Grow every overflow-bounded capacity of the constraint pipeline
+        and rebuild from the state's positions; warm-start multipliers are
+        remapped by pair identity into the bigger list (driver/regrow.py)."""
+        from mundy_tpu.driver.regrow import grow_int
+
+        c = self.config
+        probes = self._pair_run_bound()
+        self.pair_capacity = grow_int(self.pair_capacity, align=1024)
+        self.seg_window = grow_int(self.seg_window, align=512)
+        self.rows_k = grow_int(self.rows_k, align=4)
+        self.rows_slack *= 1.5
+        c.max_neighbors = grow_int(c.max_neighbors)
+        c.cell_capacity = grow_int(c.cell_capacity)
+        self.__dict__.pop("_run_jit", None)
+        self.__dict__.pop("_step_jit", None)
+        self._step_jit = jax.jit(self._step)
+        nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(state.pos)
+        gamma = remap_gamma(state.pairs, state.gamma, pairs, probes=probes)
+        return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
+                             seg_starts=seg_starts, gamma=gamma,
+                             ref_pos=state.pos, overflow=ovf)
+
     def run(self, state: Optional[LCPSpheresState] = None, log=print):
+        from mundy_tpu.driver.regrow import run_blocks
+
         c = self.config
         if state is None:
             state = self.init()
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        done = 0
-        while done < c.num_steps:
-            block = min(c.log_every, c.num_steps - done)
-            state = self.run_block(state, block)
-            jax.block_until_ready(state)
-            done += block
-            tps = done / (time.perf_counter() - t0)
-            log(f"step {done}/{c.num_steps}  tps={tps:.2f}  "
-                f"lcp_iters={int(state.lcp_iters)}  "
-                f"residual={float(state.lcp_residual):.2e}  "
-                f"overflow={bool(state.overflow)}")
-        if bool(state.overflow):
-            raise RuntimeError("capacity overflow: raise pair/neighbor capacities")
-        return state
+
+        def status(s, done, tps):
+            return (f"step {done}/{c.num_steps}  tps={tps:.2f}  "
+                    f"lcp_iters={int(s.lcp_iters)}  "
+                    f"residual={float(s.lcp_residual):.2e}  "
+                    f"overflow={bool(s.overflow)}")
+
+        return run_blocks(self, state, c.num_steps, c.log_every, log, status)
 
     def max_overlap(self, state: LCPSpheresState) -> float:
         c = self.config

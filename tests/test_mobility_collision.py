@@ -191,3 +191,36 @@ def test_collision_forces_momentum_free():
     setup = collision_setup_spheres(pos, jnp.asarray(0.6), pairs)
     f = collision_forces(setup, jnp.asarray([1.0, 2.0, 3.0] + [0.0] * 5), 3)
     np.testing.assert_allclose(np.asarray(f).sum(axis=0), np.zeros(3), atol=1e-12)
+
+
+def test_remap_gamma_by_pair_identity():
+    """Warm-start multipliers must follow (i, j) identity across a rebuild
+    that re-sorts the pair list; fresh pairs start at 0 (VERDICT weak #5)."""
+    from mundy_tpu.constraints import remap_gamma
+    from mundy_tpu.neighbor import PairList
+
+    n = 6
+
+    def plist(ij, cap):
+        ij = sorted(ij)
+        i = [a for a, b in ij] + [n] * (cap - len(ij))
+        j = [b for a, b in ij] + [n] * (cap - len(ij))
+        m = [True] * len(ij) + [False] * (cap - len(ij))
+        return PairList(i=jnp.asarray(i, jnp.int32), j=jnp.asarray(j, jnp.int32),
+                        mask=jnp.asarray(m), num_pairs=jnp.asarray(len(ij)),
+                        overflow=jnp.asarray(False))
+
+    # ordered-duplicate layout: each contact in both directions
+    old_contacts = [(0, 1), (1, 0), (0, 3), (3, 0), (2, 4), (4, 2), (4, 5), (5, 4)]
+    old = plist(old_contacts, 12)
+    gamma_old = jnp.asarray([10.0 * a + b for a, b in sorted(old_contacts)]
+                            + [0.0] * 4)
+    # after "rebuild": (0,3) gone, (1,2) fresh, rest persist at new slots
+    new_contacts = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 4), (4, 2), (4, 5), (5, 4)]
+    new = plist(new_contacts, 10)
+    out = np.asarray(remap_gamma(old, gamma_old, new, probes=4))
+    expect = {(0, 1): 1.0, (1, 0): 10.0, (1, 2): 0.0, (2, 1): 0.0,
+              (2, 4): 24.0, (4, 2): 42.0, (4, 5): 45.0, (5, 4): 54.0}
+    for slot, (a, b) in enumerate(sorted(new_contacts)):
+        assert out[slot] == expect[(a, b)], (a, b, out[slot])
+    assert (out[len(new_contacts):] == 0).all()

@@ -1,0 +1,98 @@
+"""Sharded LCP pipeline (parallel/slab_lcp.py): physics equivalence with the
+single-chip LCPSpheresSim on the 8-virtual-device CPU mesh — the multi-rank
+equivalence tier of the reference's test strategy (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from mundy_tpu.driver.apps.lcp_spheres import LCPSpheresConfig, LCPSpheresSim
+from mundy_tpu.parallel.slab_lcp import make_slab_lcp_spheres_step
+
+
+def flat_pos(state, n):
+    """Row-layout shard state -> (n, 3) positions ordered by gid."""
+    p = np.asarray(state["pos"]).reshape(-1, 3)
+    g = np.asarray(state["gid"]).reshape(-1)
+    v = np.asarray(state["valid"]).reshape(-1)
+    out = np.zeros((n, 3))
+    out[g[v]] = p[v]
+    return out
+
+
+def brute_max_overlap(pos, box, radius):
+    n = pos.shape[0]
+    d = pos[:, None, :] - pos[None, :, :]
+    d -= box * np.round(d / box)
+    dist = np.sqrt((d**2).sum(-1)) + np.eye(n) * 1e9
+    return float(2 * radius - dist.min())
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(devs[:8], ("shard",))
+
+
+def test_slab_lcp_matches_single_chip(mesh8):
+    """Same initial overlap problem, same solver settings: the sharded
+    pipeline must reproduce the single-chip trajectory to solver tolerance
+    (both solves converge; LCP solutions are generically unique)."""
+    n, radius = 512, 0.5
+    box = float((n * (4 / 3) * np.pi * radius**3 / 0.05) ** (1 / 3))
+    tol = 1e-9
+    cfg = LCPSpheresConfig(
+        num_spheres=n, box_size=box, radius=radius, dt=1e-3,
+        max_allowable_overlap=tol, diffusion_coeff=0.0, dtype="float64",
+        num_steps=30)
+    single = LCPSpheresSim(cfg)
+    s_state = single.init()
+    pos0 = np.asarray(s_state.pos)
+
+    init_fn, step_fn, _grid = make_slab_lcp_spheres_step(
+        mesh8, "shard", n_total=n, box_size=box, radius=radius, dt=1e-3,
+        max_allowable_overlap=tol, pair_capacity_per_body=8,
+        dtype=jnp.float64)
+    m_state = init_fn(jax.random.PRNGKey(0), pos=pos0)
+
+    steps = 30
+    s_state = single.run_block(s_state, steps)
+    m_state = step_fn(m_state, steps)
+    jax.block_until_ready(m_state["pos"])
+
+    assert not bool(s_state.overflow)
+    assert not bool(m_state["overflow"])
+    sp = np.asarray(s_state.pos)
+    mp = flat_pos(m_state, n)
+    # same periodic image
+    diff = sp - mp
+    diff -= box * np.round(diff / box)
+    assert np.abs(diff).max() < 1e-5, np.abs(diff).max()
+    # both resolved the initial overlaps
+    assert brute_max_overlap(mp, box, radius) < 1e-6
+
+
+def test_slab_lcp_conserves_and_resolves(mesh8):
+    """Brownian-driven run: particle conservation through rebuilds, sticky
+    overflow stays clear, overlap stays at solver scale."""
+    n, radius = 1000, 0.5
+    box = float((n * (4 / 3) * np.pi * radius**3 / 0.05) ** (1 / 3))
+    init_fn, step_fn, _grid = make_slab_lcp_spheres_step(
+        mesh8, "shard", n_total=n, box_size=box, radius=radius, dt=1e-3,
+        diffusion=0.1, pair_capacity_per_body=8, dtype=jnp.float64)
+    state = init_fn(jax.random.PRNGKey(1))
+    state = step_fn(state, 50)
+    jax.block_until_ready(state["pos"])
+    assert int(jnp.sum(state["valid"])) == n
+    assert not bool(state["overflow"])
+    pos = flat_pos(state, n)
+    assert np.isfinite(pos).all()
+    # Brownian noise is added AFTER the solve (as in the single-chip app),
+    # so residual penetration sits at the per-step Brownian displacement
+    # scale sqrt(6 D dt) ~ 0.05 shifted into the next solve — well under
+    # the radius but not at solver tolerance
+    assert brute_max_overlap(pos, box, radius) < 0.25 * radius

@@ -271,21 +271,28 @@ class FilamentsSim:
                               ref_pos=mid, rebuild_count=jnp.asarray(1, jnp.int32),
                               overflow=ovf)
 
+    def regrow(self, state: FilamentsState) -> FilamentsState:
+        """Grow the neighbor capacities and rebuild (driver/regrow.py)."""
+        from mundy_tpu.driver.regrow import grow_int
+
+        c = self.config
+        c.cell_capacity = grow_int(c.cell_capacity)
+        c.max_neighbors = grow_int(c.max_neighbors)
+        self.__dict__.pop("_run_jit", None)
+        nmat, ovf = self._build_nmat(state.pos)
+        _a, _b, mid = self._segments(state.pos)
+        return state.replace(nmat=nmat, ref_pos=mid, overflow=ovf)
+
     def run(self, state: Optional[FilamentsState] = None, log=print):
+        from mundy_tpu.driver.regrow import run_blocks
+
         c = self.config
         if state is None:
             state = self.init()
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        done = 0
-        while done < c.num_steps:
-            block = min(c.log_every, c.num_steps - done)
-            state = self.run_block(state, block)
-            jax.block_until_ready(state)
-            done += block
-            tps = done / (time.perf_counter() - t0)
-            log(f"step {done}/{c.num_steps}  tps={tps:.2f}  "
-                f"rebuilds={int(state.rebuild_count)}  overflow={bool(state.overflow)}")
-        if bool(state.overflow):
-            raise RuntimeError("capacity overflow")
-        return state
+
+        def status(s, done, tps):
+            return (f"step {done}/{c.num_steps}  tps={tps:.2f}  "
+                    f"rebuilds={int(s.rebuild_count)}  "
+                    f"overflow={bool(s.overflow)}")
+
+        return run_blocks(self, state, c.num_steps, c.log_every, log, status)

@@ -224,32 +224,34 @@ class SpheresSim:
         import jax.numpy as _jnp
         return self._run_jit(state, _jnp.asarray(n_steps, _jnp.int32))
 
+    def regrow(self, state: SpheresState) -> SpheresState:
+        """Grow the overflow-bounded capacities and rebuild the search
+        structures from the state's positions (driver/regrow.py)."""
+        from mundy_tpu.driver.regrow import grow_int
+
+        c = self.config
+        c.cell_capacity = grow_int(c.cell_capacity)
+        c.max_neighbors = grow_int(c.max_neighbors)
+        self.__dict__.pop("_run_jit", None)
+        nmat, ovf = self._build_nmat(state.pos)
+        return state.replace(nmat=nmat, ref_pos=state.pos, overflow=ovf)
+
     # ------------------------------------------------------------------
     def run(self, state: Optional[SpheresState] = None, log=print):
-        """Host loop with tps telemetry (ref HP1 driver `:1496-1516`)."""
+        """Host loop with tps telemetry (ref HP1 driver `:1496-1516`) and
+        overflow-triggered capacity regrow."""
+        from mundy_tpu.driver.regrow import run_blocks
+
         c = self.config
         if state is None:
             state = self.init()
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        done = 0
-        while done < c.num_steps:
-            block = min(c.log_every, c.num_steps - done)
-            state = self.run_block(state, block)
-            jax.block_until_ready(state)
-            done += block
-            elapsed = time.perf_counter() - t0
-            tps = done / elapsed
-            log(
-                f"step {done}/{c.num_steps}  tps={tps:.1f}  "
-                f"rebuilds={int(state.rebuild_count)}  "
-                f"overflow={bool(state.overflow)}"
-            )
-        if bool(state.overflow):
-            raise RuntimeError(
-                "neighbor capacity overflow: raise max_neighbors/cell_capacity"
-            )
-        return state
+
+        def status(s, done, tps):
+            return (f"step {done}/{c.num_steps}  tps={tps:.1f}  "
+                    f"rebuilds={int(s.rebuild_count)}  "
+                    f"overflow={bool(s.overflow)}")
+
+        return run_blocks(self, state, c.num_steps, c.log_every, log, status)
 
     # diagnostics ------------------------------------------------------
     def max_overlap(self, state: SpheresState) -> float:

@@ -199,24 +199,39 @@ class RowSpheresSim:
         import jax.numpy as _jnp
         return self._run_jit(state, _jnp.asarray(n_steps, _jnp.int32))
 
+    def regrow(self, state: RowSpheresState) -> RowSpheresState:
+        """Grow the row slot capacity and re-sort the current positions
+        into the bigger layout (driver/regrow.py)."""
+        from mundy_tpu.driver.regrow import grow_int
+
+        c = self.config
+        if int(jnp.sum(state.rows.valid)) != c.num_spheres:
+            # the row layout is the primary state: a build that dropped
+            # particles has already lost their positions — nothing to
+            # recover from (cannot happen mid-run: the sticky flag makes
+            # run_blocks retry from the last complete state)
+            raise RuntimeError("row state lost particles; cannot regrow")
+        pos = rows_to_flat(state.rows, c.num_spheres)
+        self.grid = self.grid.replace(
+            row_capacity=grow_int(self.grid.row_capacity))
+        self.__dict__.pop("_run_jit", None)
+        rows = build_rows(pos, jnp.arange(c.num_spheres, dtype=jnp.int32),
+                          self.grid)
+        return state.replace(rows=rows, overflow=rows.overflow)
+
     def run(self, state: Optional[RowSpheresState] = None, log=print):
+        from mundy_tpu.driver.regrow import run_blocks
+
         c = self.config
         if state is None:
             state = self.init()
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        done = 0
-        while done < c.num_steps:
-            block = min(c.log_every, c.num_steps - done)
-            state = self.run_block(state, block)
-            jax.block_until_ready(state)
-            done += block
-            tps = done / (time.perf_counter() - t0)
-            log(f"step {done}/{c.num_steps}  tps={tps:.1f}  "
-                f"rebuilds={int(state.rebuild_count)}  overflow={bool(state.overflow)}")
-        if bool(state.overflow):
-            raise RuntimeError("row capacity overflow: raise capacity_slack")
-        return state
+
+        def status(s, done, tps):
+            return (f"step {done}/{c.num_steps}  tps={tps:.1f}  "
+                    f"rebuilds={int(s.rebuild_count)}  "
+                    f"overflow={bool(s.overflow)}")
+
+        return run_blocks(self, state, c.num_steps, c.log_every, log, status)
 
     # diagnostics ------------------------------------------------------
     def positions(self, state: RowSpheresState) -> Array:

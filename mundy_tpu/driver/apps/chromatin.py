@@ -69,7 +69,12 @@ class ChromatinConfig:
     periphery_stiffness: float = 200.0
     viscosity: float = 1.0
     diffusion_coeff: float = 0.1
-    hydro: str = "none"  # "none" | "rpy_neighbors" | "rpy_spectral"
+    # "rpy_periphery" = full RPY + no-slip periphery BIE correction (the
+    # reference's fullest pipeline, `HP1...neigh_linker.cpp:1487-1493` +
+    # FastDirectPeriphery::compute_surface_forces); needs periphery_radius
+    hydro: str = "none"  # "none" | "rpy_neighbors" | "rpy_spectral" | "rpy_periphery"
+    periphery_order: int = 12  # BIE quadrature order (Q = 2(order+1)^2)
+    periphery_cache: str = ""  # optional path caching the dense M^-1
     # periodic box edge; 0 = free space. Required for "rpy_spectral" (the
     # FFT spectral-Ewald Stokes path — the at-scale PVFMM-analog mobility,
     # BASELINE config #5)
@@ -91,9 +96,13 @@ class ChromatinConfig:
     log_every: int = 100
 
     def __validate__(self):
-        assert self.hydro in ("none", "rpy_neighbors", "rpy_spectral")
+        assert self.hydro in ("none", "rpy_neighbors", "rpy_spectral",
+                              "rpy_periphery")
         if self.hydro == "rpy_spectral":
             assert self.box_size > 0, "rpy_spectral needs a periodic box_size"
+        if self.hydro == "rpy_periphery":
+            assert self.periphery_radius > 0, \
+                "rpy_periphery needs a periphery_radius confinement"
         assert self.periphery_radius == 0 or self.box_size == 0, \
             "periphery confinement and a periodic box are exclusive"
         assert self.num_crosslinkers >= 0
@@ -165,6 +174,12 @@ class ChromatinSim:
             self.kmc_cell_capacity = min(((cap + 7) // 8) * 8, self.N)
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.bead_radius)
         self.rows_slack = 1.9  # rows-broad-phase slot slack (regrow-grown)
+        self.periphery = None
+        if c.hydro == "rpy_periphery":
+            from mundy_tpu.mobility.periphery import build_sphere_periphery
+            self.periphery = build_sphere_periphery(
+                c.periphery_order, c.periphery_radius,
+                cache_path=c.periphery_cache or None, dtype=self.dtype)
         self.spectral = None
         if c.hydro == "rpy_spectral":
             from mundy_tpu.mobility.spectral import make_se_geometry
@@ -443,6 +458,22 @@ class ChromatinSim:
             # both SE binning rows and 3D cells drop bodies on overflow
             state = state.replace(
                 overflow=state.overflow | cells.overflow | se_ovf)
+        elif c.hydro == "rpy_periphery":
+            # the reference's fullest pipeline: all-pairs RPY drift with the
+            # no-slip periphery BIE correction — ambient flow evaluated at
+            # the quadrature nodes, surface densities q = -M^{-1} u|surf,
+            # double-layer correction back at the beads
+            # (`HP1...neigh_linker.cpp:1487-1493`, Periphery.hpp:1155,1409)
+            from mundy_tpu.mobility import (
+                no_slip_correction,
+                rpy_apply_dense,
+                rpy_flow_at,
+            )
+            vel = rpy_apply_dense(state.pos, f, c.bead_radius, c.viscosity,
+                                  overlap_correction=True)
+            u_surf = rpy_flow_at(self.periphery.points, state.pos, f,
+                                 c.bead_radius, c.viscosity)
+            vel = vel + no_slip_correction(self.periphery, u_surf, state.pos)
         else:
             vel = rpy_apply_neighbors(state.pos, f, state.nmat, c.bead_radius,
                                       c.viscosity, overlap_correction=True)

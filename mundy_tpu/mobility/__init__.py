@@ -15,6 +15,7 @@ from mundy_tpu.mobility.local_drag import (
 from mundy_tpu.mobility.rpy import (
     rpy_apply_dense,
     rpy_apply_neighbors,
+    rpy_flow_at,
     rpy_self_mobility,
 )
 from mundy_tpu.mobility.ewald import (
@@ -28,8 +29,20 @@ from mundy_tpu.mobility.spectral import (
     se_rpy_apply,
     se_wave_apply,
 )
+from mundy_tpu.mobility.periphery import (
+    Periphery,
+    build_sphere_periphery,
+    double_layer_flow,
+    no_slip_correction,
+    surface_densities,
+)
 
 __all__ = [
+    "Periphery",
+    "build_sphere_periphery",
+    "double_layer_flow",
+    "no_slip_correction",
+    "surface_densities",
     "SpectralEwaldRPY",
     "build_spectral_ewald",
     "se_rpy_apply",
@@ -38,6 +51,7 @@ __all__ = [
     "local_drag_angular_mobility",
     "rpy_apply_dense",
     "rpy_apply_neighbors",
+    "rpy_flow_at",
     "rpy_self_mobility",
     "EwaldRPY",
     "build_ewald_rpy",

@@ -116,6 +116,37 @@ def rpy_apply_dense(
     return u
 
 
+def rpy_flow_at(
+    targets: Array,
+    pos: Array,
+    forces: Array,
+    radius,
+    viscosity,
+    chunk: int = 1024,
+) -> Array:
+    """Ambient RPY flow at off-particle field points (T, 3).
+
+    u(x_t) = sum_b M_rpy(x_t - x_b) f_b with NO self term — the evaluation
+    the periphery BIE needs at its quadrature nodes (the reference computes
+    the ambient flow at surface nodes before `compute_surface_forces`,
+    `HP1...neigh_linker.cpp:1487-1493`)."""
+    t = targets.shape[0]
+    t_pad = ((t + chunk - 1) // chunk) * chunk
+    pad = t_pad - t
+    tgt_p = jnp.concatenate([targets, jnp.zeros((pad, 3), targets.dtype)],
+                            axis=0)
+
+    def one_chunk(start):
+        tgt = jax.lax.dynamic_slice_in_dim(tgt_p, start, chunk, axis=0)
+        rvec = tgt[:, None, :] - pos[None, :, :]
+        u = _rpy_pair_velocity(rvec, forces[None, :, :], radius, viscosity,
+                               overlap_correction=True)
+        return jnp.sum(u, axis=1)
+
+    starts = jnp.arange(0, t_pad, chunk)
+    return jax.lax.map(one_chunk, starts).reshape(t_pad, 3)[:t]
+
+
 def rpy_apply_neighbors(
     pos: Array,
     forces: Array,

@@ -121,6 +121,25 @@ def test_rpy_hydro_runs():
     assert np.isfinite(np.asarray(state.pos)).all()
 
 
+def test_periphery_hydro_pipeline():
+    """The reference's fullest pipeline (HP1...neigh_linker.cpp:1487-1493):
+    contact + FENE-WCA + KMC + full RPY + no-slip periphery BIE. Chains
+    stay confined and connected; trajectories finite through rebuilds."""
+    R = 10.0
+    sim = ChromatinSim(cfg(hydro="rpy_periphery", periphery_radius=R,
+                           periphery_order=10, num_crosslinkers=16,
+                           diffusion_coeff=0.1, num_steps=30))
+    state = sim.init()
+    state = sim.run_block(state, 30)
+    assert not bool(state.overflow)
+    pos = np.asarray(state.pos)
+    assert np.isfinite(pos).all()
+    r = np.linalg.norm(pos, axis=1)
+    assert r.max() < R + 0.5  # confinement holds with hydro on
+    bond = np.linalg.norm(np.diff(pos.reshape(2, 64, 3), axis=1), axis=-1)
+    assert bond.max() < 1.5
+
+
 def test_spectral_hydro_periodic_box():
     """Periodic-box chromatin with the spectral-Ewald Stokes mobility (the
     at-scale hydro mode, BASELINE config #5): chains stay connected and the

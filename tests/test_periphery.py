@@ -85,3 +85,36 @@ def test_cache_round_trip(tmp_path):
 
 
 import os  # noqa: E402
+
+
+def test_confined_mobility_suppressed():
+    """A bead dragged inside a no-slip spherical shell moves slower than in
+    free space, and slower still near the wall (the confined-diffusion
+    sanity check for the rpy_periphery hydro mode)."""
+    import jax.numpy as jnp
+
+    from mundy_tpu.mobility import (
+        build_sphere_periphery,
+        no_slip_correction,
+        rpy_flow_at,
+        rpy_self_mobility,
+    )
+
+    R, a, mu = 10.0, 0.5, 1.0
+    peri = build_sphere_periphery(14, R, dtype=jnp.float64)
+    f = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float64)
+
+    def mobility_x(pos_np):
+        pos = jnp.asarray(pos_np, jnp.float64)
+        u = rpy_self_mobility(f, a, mu)  # single bead: only the self term
+        u_surf = rpy_flow_at(peri.points, pos, f, a, mu)
+        u = u + no_slip_correction(peri, u_surf, pos)
+        return float(u[0, 0])
+
+    free = float(rpy_self_mobility(f, a, mu)[0, 0])
+    center = mobility_x(np.zeros((1, 3)))
+    near_wall = mobility_x(np.array([[R - 3 * a, 0.0, 0.0]]))
+    assert near_wall < center < free
+    # center of a concentric cavity: leading wall correction ~ 1 - O(a/R)
+    assert 0.7 * free < center < 0.99 * free
+    assert near_wall < 0.8 * free

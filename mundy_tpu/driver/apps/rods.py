@@ -51,10 +51,15 @@ class RodsConfig:
     seed: int = 1234
     dtype: str = "float32"
     log_every: int = 100
+    # "rows" = gather-free dense row-block narrow phase (RowRodsSim, the
+    # fast path), "nmat" = the (N, K) neighbor-matrix engine, "auto" picks
+    # rows when the box admits >= 5 cells per axis
+    engine: str = "auto"
 
     def __validate__(self):
         assert self.length >= 0 and self.radius > 0
         assert self.box_size > 2 * (self.length + 2 * self.radius + self.skin)
+        assert self.engine in ("auto", "rows", "nmat")
 
 
 @pytree_dataclass

@@ -29,10 +29,23 @@ def _registry():
     from mundy_tpu.driver.apps.filaments import FilamentsConfig, FilamentsSim
     from mundy_tpu.driver.apps.chromatin import ChromatinConfig, ChromatinSim
 
+    def make_rods_sim(config):
+        """Engine selection for config #3: the gather-free row narrow phase
+        (rods_rows.RowRodsSim) when the box admits it, else the (N, K)
+        neighbor-matrix engine."""
+        if config.engine == "nmat":
+            return RodsSim(config)
+        cutoff = config.length + 2 * config.radius + config.skin
+        feasible = int(config.box_size // cutoff) >= 5
+        if config.engine == "rows" or feasible:
+            from mundy_tpu.driver.apps.rods_rows import RowRodsSim
+            return RowRodsSim(config)
+        return RodsSim(config)
+
     _REGISTRY.update({
         "spheres": (SpheresConfig, SpheresSim),
         "lcp_spheres": (LCPSpheresConfig, LCPSpheresSim),
-        "rods": (RodsConfig, RodsSim),
+        "rods": (RodsConfig, make_rods_sim),
         "filaments": (FilamentsConfig, FilamentsSim),
         "chromatin": (ChromatinConfig, ChromatinSim),
     })

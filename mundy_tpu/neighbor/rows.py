@@ -315,6 +315,99 @@ def pair_accumulate(
     return force.reshape((ny_pad, nz, R, 3))[:ny]
 
 
+def _pair_multi_chunk(own_pos, own_valid, own_extras, blocks, metric,
+                      pair_fn, fast, box, slot_ids):
+    """Dense pair evaluation for one y-chunk, tuple-valued pair_fn: each
+    output leaf (..., R, Rc, D) is summed over the candidate axis."""
+    dtype = own_pos.dtype
+    if fast:
+        (lx, _, _), (px, _, _) = box
+        inv_lx = 1.0 / lx
+        ex = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    outs = None
+    for cand_pos, cand_valid, cand_extras, is_self in blocks:
+        if fast:
+            sep = cand_pos[..., None, :, :] - own_pos[..., :, None, :]
+            if px:
+                dxr = cand_pos[..., 0][..., None, :] - own_pos[..., 0][..., :, None]
+                sep = sep - (lx * jnp.round(dxr * inv_lx))[..., None] * ex
+        else:
+            sep = metric.sep(own_pos[..., :, None, :], cand_pos[..., None, :, :])
+        r2 = jnp.sum(sep * sep, axis=-1)
+        mask = own_valid[..., :, None] & cand_valid[..., None, :]
+        if is_self:
+            mask = mask & (slot_ids[..., :, None] != slot_ids[..., None, :])
+        args = [sep, r2, mask]
+        for own_f, cand_f in zip(own_extras, cand_extras):
+            args.append(own_f[..., :, None, :] if own_f.ndim == own_pos.ndim
+                        else own_f[..., :, None])
+            args.append(cand_f[..., None, :, :] if cand_f.ndim == own_pos.ndim
+                        else cand_f[..., None, :])
+        res = pair_fn(*args)
+        summed = tuple(jnp.sum(r, axis=-2) for r in res)
+        outs = summed if outs is None else tuple(
+            a + b for a, b in zip(outs, summed))
+    return outs
+
+
+def pair_accumulate_multi(
+    state: RowState,
+    metric: Metric,
+    pair_fn: Callable,
+    extra_fields: tuple = (),
+    box: Optional[tuple] = None,
+    hbm_budget_bytes: float = 2.5e9,
+) -> tuple:
+    """pair_accumulate for MULTI-OUTPUT pair kernels (e.g. force AND torque
+    of a segment-segment contact: the rods/filaments narrow phase).
+
+    pair_fn(sep (..., R, Rc, 3), r2, mask, own_f..., cand_f...) -> tuple of
+    (..., R, Rc, D_i) arrays, each summed over the candidate axis to
+    (ny, nz, R, D_i). Vector-valued extra fields — trailing axis > scalar,
+    e.g. rod axes (ny, nz, R, 3) — are broadcast with the pair axes
+    inserted before their component axis (own (..., R, 1, 3) /
+    cand (..., 1, Rc, 3))."""
+    pos = state.pos
+    valid = state.valid
+    ny, nz, R = pos.shape[:3]
+    itemsize = jnp.dtype(pos.dtype).itemsize
+    blocks, fast = _shift_blocks(state, extra_fields, box)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+
+    bytes_per_row = 30 * nz * R * R * itemsize
+    cy = int(hbm_budget_bytes // max(bytes_per_row, 1))
+    if cy >= ny or cy < 1:
+        return _pair_multi_chunk(pos, valid, extra_fields, blocks, metric,
+                                 pair_fn, fast, box, slot_ids)
+
+    n_chunks = -(-ny // cy)
+    ny_pad = n_chunks * cy
+
+    def pad(a, fill=0):
+        cfg = [(0, ny_pad - ny)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg, constant_values=fill)
+
+    pos_p, valid_p = pad(pos), pad(valid, False)
+    extras_p = tuple(pad(f) for f in extra_fields)
+    blocks_p = [
+        (pad(cp), pad(cv, False), tuple(pad(f) for f in ce), s)
+        for cp, cv, ce, s in blocks
+    ]
+
+    def chunk(c):
+        y0 = c * cy
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, y0, cy, 0)  # noqa: E731
+        cblocks = [(sl(cp), sl(cv), tuple(sl(f) for f in ce), s)
+                   for cp, cv, ce, s in blocks_p]
+        return _pair_multi_chunk(sl(pos_p), sl(valid_p),
+                                 tuple(sl(f) for f in extras_p),
+                                 cblocks, metric, pair_fn, fast, box,
+                                 slot_ids)
+
+    outs = jax.lax.map(chunk, jnp.arange(n_chunks, dtype=jnp.int32))
+    return tuple(o.reshape((ny_pad, nz, R) + o.shape[4:])[:ny] for o in outs)
+
+
 def _candidate_planes(pos: Array, box: tuple, extra_fields: tuple = ()):
     """Concatenated 9-row candidate component planes.
 

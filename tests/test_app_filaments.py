@@ -95,3 +95,22 @@ def test_active_wave_propels():
     disp_iso = np.linalg.norm(np.asarray(s2.pos).mean(axis=1)[0] - com0)
     assert disp_iso < 1e-9  # exact momentum conservation
     assert disp > 10 * max(disp_iso, 1e-12)
+
+
+def test_rows_contact_engine_matches_nmat():
+    """The gather-free row-block narrow phase must reproduce the (N, K)
+    engine's trajectory exactly (same contact set, same arithmetic)."""
+    import jax
+
+    sim_n = FilamentsSim(cfg(contact_engine="nmat", diffusion_coeff=0.0))
+    sim_r = FilamentsSim(cfg(contact_engine="rows", diffusion_coeff=0.0))
+    assert sim_r.contact_engine == "rows"
+    s_n = sim_n.init()
+    s_r = sim_r.init()
+    steps = 40
+    s_n = sim_n.run_block(s_n, steps)
+    s_r = sim_r.run_block(s_r, steps)
+    jax.block_until_ready(s_r.pos)
+    assert not bool(s_n.overflow) and not bool(s_r.overflow)
+    pn, pr = np.asarray(s_n.pos), np.asarray(s_r.pos)
+    assert np.abs(pn - pr).max() < 1e-9, np.abs(pn - pr).max()

@@ -63,16 +63,24 @@ def remap_gamma(old_pairs: PairList, old_gamma: Array, new_pairs: PairList,
     old slot with one vectorized searchsorted (start of the old i-run) plus
     `probes` j-comparisons (`probes` >= the broad phase's max neighbors per
     body bounds the run length). Unmatched (fresh) pairs start at 0.
+
+    Values may carry trailing dims (e.g. (C, 3) tangential-displacement
+    history for frictional DEM) — matched slots copy whole rows.
     """
     c_old = old_pairs.i.shape[0]
-    start = jnp.searchsorted(old_pairs.i, new_pairs.i).astype(jnp.int32)
-    out = jnp.zeros(new_pairs.i.shape, old_gamma.dtype)
+    n_mark = jnp.maximum(jnp.max(old_pairs.i), jnp.max(new_pairs.i)) + 1
+    # padded slots must sort to the END regardless of the builder's pad
+    # convention (build_pair_list pads i with 0, *_ordered with N)
+    old_i = jnp.where(old_pairs.mask, old_pairs.i, n_mark)
+    start = jnp.searchsorted(old_i, new_pairs.i).astype(jnp.int32)
+    out = jnp.zeros(new_pairs.i.shape + old_gamma.shape[1:], old_gamma.dtype)
     for t in range(probes):
         idx = jnp.minimum(start + t, c_old - 1)
         hit = ((old_pairs.i[idx] == new_pairs.i)
                & (old_pairs.j[idx] == new_pairs.j)
                & old_pairs.mask[idx] & new_pairs.mask)
-        out = jnp.where(hit, old_gamma[idx], out)
+        hit_b = hit.reshape(hit.shape + (1,) * (old_gamma.ndim - 1))
+        out = jnp.where(hit_b, old_gamma[idx], out)
     return out
 
 

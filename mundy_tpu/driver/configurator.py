@@ -28,6 +28,7 @@ def _registry():
     from mundy_tpu.driver.apps.rods import RodsConfig, RodsSim
     from mundy_tpu.driver.apps.filaments import FilamentsConfig, FilamentsSim
     from mundy_tpu.driver.apps.chromatin import ChromatinConfig, ChromatinSim
+    from mundy_tpu.driver.apps.granular import GranularConfig, GranularSim
 
     def make_rods_sim(config):
         """Engine selection for config #3: the gather-free row narrow phase
@@ -48,6 +49,7 @@ def _registry():
         "rods": (RodsConfig, make_rods_sim),
         "filaments": (FilamentsConfig, FilamentsSim),
         "chromatin": (ChromatinConfig, ChromatinSim),
+        "granular": (GranularConfig, GranularSim),
     })
     return _REGISTRY
 

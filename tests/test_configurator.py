@@ -16,7 +16,8 @@ from mundy_tpu.driver.configurator import (
 
 def test_all_apps_registered():
     assert set(available_apps()) == {
-        "spheres", "lcp_spheres", "rods", "filaments", "chromatin"
+        "spheres", "lcp_spheres", "rods", "filaments", "chromatin",
+        "granular",
     }
 
 

@@ -53,6 +53,10 @@ class LCPSpheresConfig:
     num_spheres: int = 10_000
     box_size: float = 40.0
     radius: float = 0.5
+    # r_i = radius * (1 + U(-p, p)); mixed-size suspensions on the fast
+    # paths (search, constraints, drag). Hydro modes are equal-radius RPY,
+    # so polydispersity requires hydro == "none".
+    polydispersity: float = 0.0
     viscosity: float = 1.0
     diffusion_coeff: float = 0.0
     dt: float = 1e-3
@@ -75,6 +79,10 @@ class LCPSpheresConfig:
         assert self.hydro in ("none", "rpy_neighbors", "rpy_ewald",
                               "rpy_spectral"), self.hydro
         assert self.num_spheres > 0 and self.dt > 0
+        assert 0.0 <= self.polydispersity < 1.0
+        if self.polydispersity > 0:
+            assert self.hydro == "none", \
+                "the RPY hydro modes assume equal radii"
 
 
 @pytree_dataclass
@@ -100,7 +108,18 @@ class LCPSpheresSim:
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)
         self.metric = periodic(box, dtype=self.dtype)
-        self.search_radius = c.radius + 0.5 * c.constraint_buffer
+        self.radii = None
+        self.search_radii = None
+        if c.polydispersity > 0:
+            rng = np.random.default_rng(c.seed + 777)
+            rr = c.radius * (1.0 + c.polydispersity
+                             * rng.uniform(-1.0, 1.0, c.num_spheres))
+            self.radii = jnp.asarray(rr, self.dtype)
+            self.search_radius = float(rr.max()) + 0.5 * c.constraint_buffer
+            self.search_radii = self.radii + jnp.asarray(
+                0.5 * c.constraint_buffer, self.dtype)
+        else:
+            self.search_radius = c.radius + 0.5 * c.constraint_buffer
         self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
                                    (True,) * 3, self.dtype)
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
@@ -157,12 +176,15 @@ class LCPSpheresSim:
                 pos, float(self.search_radius), (c.box_size,) * 3,
                 max_neighbors=min(c.max_neighbors, self.rows_k),
                 capacity_slack=self.rows_slack,
+                search_radii=self.search_radii,
             )
             clist_ovf = jnp.asarray(False)
         else:
             clist = build_cell_list(pos, self.grid, c.cell_capacity)
+            sr = (self.search_radii if self.search_radii is not None
+                  else jnp.asarray(self.search_radius, self.dtype))
             nmat = neighbor_matrix(
-                pos, clist, jnp.asarray(self.search_radius, self.dtype),
+                pos, clist, sr,
                 metric=self.metric, max_neighbors=c.max_neighbors,
                 chunk=min(c.chunk, max(256, c.num_spheres)),
             )
@@ -246,6 +268,10 @@ class LCPSpheresSim:
         c = self.config
         no_ovf = jnp.asarray(False)
         if c.hydro == "none":
+            if self.radii is not None:
+                inv_drag = (1.0 / (6.0 * _math.pi * c.viscosity
+                                   * self.radii))[:, None]
+                return (lambda f: inv_drag * f), no_ovf
             return (lambda f: local_drag_mobility(f, c.radius, c.viscosity)), no_ovf
         if c.hydro == "rpy_spectral":
             # bin + build cells once per step: positions are fixed across
@@ -289,7 +315,9 @@ class LCPSpheresSim:
                                  block_bodies=self.seg_block,
                                  window=self.seg_window,
                                  overflow=jnp.asarray(False))
-        setup = collision_setup_spheres(pos, jnp.asarray(c.radius, self.dtype),
+        radius = (self.radii if self.radii is not None
+                  else jnp.asarray(c.radius, self.dtype))
+        setup = collision_setup_spheres(pos, radius,
                                         pairs, metric=self.metric,
                                         windows=windows)
         mobility, hydro_ovf = self._mobility(pos, state.hydro_nmat)
@@ -405,12 +433,16 @@ class LCPSpheresSim:
     def max_overlap(self, state: LCPSpheresState) -> float:
         c = self.config
         clist = build_cell_list(state.pos, self.grid, c.cell_capacity)
-        nmat = neighbor_matrix(state.pos, clist,
-                               jnp.asarray(self.search_radius, self.dtype),
+        sr = (self.search_radii if self.search_radii is not None
+              else jnp.asarray(self.search_radius, self.dtype))
+        nmat = neighbor_matrix(state.pos, clist, sr,
                                metric=self.metric, max_neighbors=c.max_neighbors,
                                chunk=min(c.chunk, max(256, c.num_spheres)))
-        sep = self.metric.sep(state.pos[:, None, :],
-                              state.pos[jnp.minimum(nmat.idx, c.num_spheres - 1)])
-        d = jnp.linalg.norm(sep, axis=-1) - 2 * c.radius
+        idx = jnp.minimum(nmat.idx, c.num_spheres - 1)
+        sep = self.metric.sep(state.pos[:, None, :], state.pos[idx])
+        radius = (self.radii if self.radii is not None
+                  else jnp.full((c.num_spheres,), c.radius, self.dtype))
+        d = (jnp.linalg.norm(sep, axis=-1)
+             - radius[:, None] - radius[idx])
         d = jnp.where(nmat.mask, d, jnp.inf)
         return float(-jnp.min(d))

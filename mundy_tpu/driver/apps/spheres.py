@@ -47,6 +47,11 @@ class SpheresConfig:
     num_spheres: int = 10_000
     box_size: float = 40.0  # cubic periodic box edge
     radius: float = 0.5
+    # relative half-width of a uniform radius distribution: r_i = radius *
+    # (1 + U(-p, p)). 0 keeps every engine on the uniform fast paths; > 0
+    # fields per-particle radii through search, contact, drag, and noise
+    # (the reference fields radius everywhere, compute_aabb.hpp:48-131)
+    polydispersity: float = 0.0
     youngs_modulus: float = 1000.0
     poissons_ratio: float = 0.3
     viscosity: float = 1.0
@@ -65,6 +70,7 @@ class SpheresConfig:
         assert self.num_spheres > 0, "num_spheres must be positive"
         assert self.box_size > 4 * (self.radius + self.skin), "box too small"
         assert self.dt > 0 and self.num_steps >= 0
+        assert 0.0 <= self.polydispersity < 1.0
 
 
 @pytree_dataclass
@@ -88,13 +94,27 @@ class SpheresSim:
         box = np.array([c.box_size] * 3)
         self.metric: Metric = periodic(box, dtype=self.dtype)
         # search radius = bounding radius + skin/2 per body => pair cutoff
-        # = 2r + skin; cell edge must cover the pair cutoff.
-        self.search_radius = c.radius + 0.5 * c.skin
+        # = r_i + r_j + skin; cell edge must cover the MAX pair cutoff.
+        self.radii = None
+        self.search_radii = None
+        if c.polydispersity > 0:
+            rng = np.random.default_rng(c.seed + 777)
+            rr = c.radius * (1.0 + c.polydispersity
+                             * rng.uniform(-1.0, 1.0, c.num_spheres))
+            self.radii = jnp.asarray(rr, self.dtype)
+            self.search_radius = float(rr.max()) + 0.5 * c.skin
+            self.search_radii = self.radii + jnp.asarray(0.5 * c.skin,
+                                                         self.dtype)
+        else:
+            self.search_radius = c.radius + 0.5 * c.skin
         self.grid = make_cell_grid(
             [0, 0, 0], box, min_cell_size=2 * self.search_radius,
             periodic=(True,) * 3, dtype=self.dtype,
         )
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
+        if self.radii is not None:
+            self.inv_drag = (1.0 / (6.0 * _math.pi * c.viscosity
+                                    * self.radii))[:, None]
         self._step_jit = jax.jit(self._step)
         self._init_jit = jax.jit(self._init)
 
@@ -102,9 +122,10 @@ class SpheresSim:
     def _build_nmat(self, pos: Array) -> tuple[NeighborMatrix, Array]:
         c = self.config
         clist = build_cell_list(pos, self.grid, c.cell_capacity)
+        sr = (self.search_radii if self.search_radii is not None
+              else jnp.asarray(self.search_radius, self.dtype))
         nmat = neighbor_matrix(
-            pos, clist,
-            jnp.asarray(self.search_radius, self.dtype),
+            pos, clist, sr,
             metric=self.metric,
             max_neighbors=c.max_neighbors,
             chunk=min(c.chunk, max(256, c.num_spheres)),
@@ -134,9 +155,11 @@ class SpheresSim:
         (the cheap per-step work; no rebuild)."""
         c = self.config
         pos = state.pos
+        radius = (self.radii if self.radii is not None
+                  else jnp.asarray(c.radius, self.dtype))
         force = hertzian_contact_forces(
             pos,
-            jnp.asarray(c.radius, self.dtype),  # uniform: gather-free path
+            radius,  # scalar: gather-free path; (N,): packed-params path
             jnp.asarray(c.youngs_modulus, self.dtype),
             jnp.asarray(c.poissons_ratio, self.dtype),
             state.nmat,
@@ -144,10 +167,14 @@ class SpheresSim:
         )
         vel = self.inv_drag * force
         if c.diffusion_coeff > 0.0:
-            # keyed per-gid streams: identical to the row/slab engines
+            # keyed per-gid streams: identical to the row/slab engines;
+            # Stokes-Einstein per-particle D_i = D0 * r0 / r_i
+            diff = jnp.asarray(c.diffusion_coeff, self.dtype)
+            if self.radii is not None:
+                diff = diff * jnp.asarray(c.radius, self.dtype) / self.radii
             vel = vel + brownian_velocity_keyed(
                 state.key, state.step, jnp.arange(c.num_spheres),
-                jnp.asarray(c.diffusion_coeff, self.dtype), c.dt, dtype=self.dtype,
+                diff, c.dt, dtype=self.dtype,
             )
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
         return state.replace(pos=new_pos, step=state.step + 1)

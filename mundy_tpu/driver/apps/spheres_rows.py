@@ -60,10 +60,25 @@ class RowSpheresSim:
                                   capacity_slack=capacity_slack,
                                   dtype=self.dtype, align=8)
         self.box_static = orthorhombic_lengths(self.metric)
+        # polydisperse radii (same draw as SpheresSim: seed + 777, so the
+        # engines are trajectory-comparable); cutoff covers the max pair
+        self.radii = None
+        if c.polydispersity > 0:
+            rng = np.random.default_rng(c.seed + 777)
+            rr = c.radius * (1.0 + c.polydispersity
+                             * rng.uniform(-1.0, 1.0, c.num_spheres))
+            self.radii = jnp.asarray(rr, self.dtype)
+            self.cutoff = 2 * float(rr.max()) + c.skin
+            self.grid = make_row_grid([0, 0, 0], box, self.cutoff,
+                                      c.num_spheres,
+                                      capacity_slack=capacity_slack,
+                                      dtype=self.dtype, align=8)
         if use_pallas is None:
             # the Mosaic kernel needs a real TPU (or interpret mode) + f32
             use_pallas = (jax.default_backend() == "tpu"
                           and self.dtype == jnp.float32)
+        if self.radii is not None:
+            use_pallas = False  # the Mosaic kernel assumes uniform radii
         self.use_pallas = use_pallas
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
         self.e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
@@ -112,6 +127,23 @@ class RowSpheresSim:
             return row_hertzian_forces_sym(
                 rows.pos, (c.box_size,) * 3, c.radius, c.youngs_modulus,
                 c.poissons_ratio)
+        if use_central and self.radii is not None:
+            # polydisperse: radii ride a payload plane; sentinel slots carry
+            # r = 0 so their r_eff (hence the Hertzian magnitude) vanishes
+            safe = jnp.minimum(rows.gid, c.num_spheres - 1)
+            r_rows = jnp.where(rows.valid, self.radii[safe], 0.0)
+
+            def scalar_fn_poly(r2, ro, rc):
+                r2 = jnp.maximum(r2, 1e-24)
+                rinv = jax.lax.rsqrt(r2)
+                d = r2 * rinv
+                re = (ro * rc) / jnp.maximum(ro + rc, 1e-12)
+                mag = hertzian_pair_force(d - (ro + rc), re, e_eff)
+                return -mag * rinv
+
+            return pair_accumulate_central(rows, self.box_static,
+                                           scalar_fn_poly,
+                                           extra_fields=(r_rows,))
         if use_central:
             # Hertzian repulsion is central: f_i = sum_j w * (x_j - x_i) with
             # w = -mag/d <= 0 -> mask-free fused row kernel (sentinel slots
@@ -143,13 +175,24 @@ class RowSpheresSim:
     def _inner_step(self, state: RowSpheresState) -> RowSpheresState:
         c = self.config
         rows = state.rows
-        vel = self.inv_drag * self._forces(rows)
+        force = self._forces(rows)
+        if self.radii is not None:
+            safe = jnp.minimum(rows.gid, c.num_spheres - 1)
+            r_rows = jnp.maximum(self.radii[safe], 1e-12)
+            inv_drag = jnp.where(
+                rows.valid, 1.0 / (6.0 * jnp.pi * c.viscosity * r_rows),
+                0.0)[..., None]
+            vel = inv_drag * force
+        else:
+            vel = self.inv_drag * force
         if c.diffusion_coeff > 0:
             # gid-keyed counter-based noise: identical streams to the flat
             # engine, no gid gather (brownian_velocity_keyed)
+            diff = jnp.asarray(c.diffusion_coeff, self.dtype)
+            if self.radii is not None:
+                diff = diff * jnp.asarray(c.radius, self.dtype) / r_rows
             bz = brownian_velocity_keyed(
-                state.key, state.step, rows.gid,
-                jnp.asarray(c.diffusion_coeff, self.dtype), c.dt,
+                state.key, state.step, rows.gid, diff, c.dt,
                 dtype=self.dtype)
             vel = vel + jnp.where(rows.valid[..., None], bz, 0.0)
         new_pos = self.metric.wrap(rows.pos + jnp.asarray(c.dt, self.dtype) * vel)

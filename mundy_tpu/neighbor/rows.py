@@ -694,6 +694,7 @@ def neighbor_matrix_rows(
     hbm_budget_bytes: float = 2.5e9,
     grid: Optional[RowGrid] = None,
     use_pallas: Optional[bool] = None,
+    search_radii: Optional[Array] = None,
 ):
     """NeighborMatrix built through the row layout — the fast broad phase.
 
@@ -707,8 +708,12 @@ def neighbor_matrix_rows(
     max_neighbors is large (cost scales linearly in K) or the box has fewer
     than 5 cells per periodic axis.
 
-    Pair cutoff is 2*search_radius (uniform radii), matching
-    neighbor_matrix's search_radius_i + search_radius_j convention.
+    Pair cutoff is 2*search_radius (uniform radii) or, with `search_radii`
+    (N,) given, the per-pair sri + srj — matching neighbor_matrix's
+    search_radius_i + search_radius_j convention; `search_radius` must then
+    be max(search_radii) (it sizes the row cells). Polydisperse extraction
+    rides the same plane machinery (radii as a payload channel; XLA path
+    only — the Pallas kernel assumes a uniform cutoff).
     Returns NeighborMatrix(idx (N,K) with N marking empty, mask, overflow).
     """
     from mundy_tpu.neighbor.cell_list import NeighborMatrix
@@ -741,6 +746,8 @@ def neighbor_matrix_rows(
         # the slot->gid unsort scatter (~155 ms).
         use_pallas = (jax.default_backend() == "tpu" and dtype == jnp.float32
                       and all(flags) and ny >= 5 and nz >= 5 and nz % 8 == 0)
+    if search_radii is not None:
+        use_pallas = False  # the Mosaic kernel assumes one uniform cutoff
     if use_pallas:
         from mundy_tpu.ops.pallas.row_extract import row_neighbor_extract
         ids4, cnt = row_neighbor_extract(state.pos, state.gid, lengths,
@@ -756,20 +763,35 @@ def neighbor_matrix_rows(
             jnp.where(state.valid, cnt, 0) > k_out)
         return NeighborMatrix(idx=idx, mask=mask, overflow=overflow)
     gid_f = state.gid.astype(dtype)  # gid rides the plane machinery as f32
-    cx, cy_, cz, (cgid,) = _candidate_planes(state.pos, box, (gid_f,))
+    if search_radii is not None:
+        safe = jnp.minimum(state.gid, n - 1)
+        sr_rows = jnp.where(state.valid,
+                            jnp.asarray(search_radii, dtype)[safe], 0.0)
+        cx, cy_, cz, (cgid, csr) = _candidate_planes(
+            state.pos, box, (gid_f, sr_rows))
+    else:
+        sr_rows = None
+        cx, cy_, cz, (cgid,) = _candidate_planes(state.pos, box, (gid_f,))
+        csr = None
     ox, oy, oz = state.pos[..., 0], state.pos[..., 1], state.pos[..., 2]
     lx, px = lengths[0], flags[0]
     cut2 = jnp.asarray(cutoff * cutoff, dtype)
     lanes = jnp.arange(9 * R, dtype=jnp.int32)
 
-    def extract(oxc, oyc, ozc, ogc, ovc, cxc, cyc, czc, cgc):
+    def extract(oxc, oyc, ozc, ogc, ovc, cxc, cyc, czc, cgc,
+                osr=None, csrc=None):
         DX = cxc[..., None, :] - oxc[..., :, None]
         if px:
             DX = DX - lx * jnp.round(DX * (1.0 / lx))
         DY = cyc[..., None, :] - oyc[..., :, None]
         DZ = czc[..., None, :] - ozc[..., :, None]
         r2 = DX * DX + DY * DY + DZ * DZ
-        hit = (r2 < cut2) & (cgc[..., None, :] != ogc[..., :, None])
+        if osr is not None:
+            cut = osr[..., :, None] + csrc[..., None, :]
+            pair_cut2 = cut * cut
+        else:
+            pair_cut2 = cut2
+        hit = (r2 < pair_cut2) & (cgc[..., None, :] != ogc[..., :, None])
         count = jnp.sum(hit, axis=-1)
         r2m = jnp.where(hit, r2, jnp.inf)
         ids, msk = [], []
@@ -790,7 +812,7 @@ def neighbor_matrix_rows(
     chunk_y = int(hbm_budget_bytes // max(bytes_per_row, 1))
     if chunk_y >= ny or chunk_y < 1:
         ids, msk, count = extract(ox, oy, oz, state.gid, state.valid,
-                                  cx, cy_, cz, cgid)
+                                  cx, cy_, cz, cgid, sr_rows, csr)
     else:
         n_chunks = -(-ny // chunk_y)
         ny_pad = n_chunks * chunk_y
@@ -802,13 +824,17 @@ def neighbor_matrix_rows(
         planes = [pad(a) for a in
                   (ox, oy, oz, gid_f, cx, cy_, cz, cgid)]
         gid_p, valid_p = pad(state.gid), pad(state.valid, False)
+        sr_p = pad(sr_rows) if sr_rows is not None else None
+        csr_p = pad(csr) if csr is not None else None
 
         def chunk(c):
             y0 = c * chunk_y
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, y0, chunk_y, 0)  # noqa: E731
             oxc, oyc, ozc, _gf, cxc, cyc, czc, cgc = (sl(a) for a in planes)
             return extract(oxc, oyc, ozc, sl(gid_p), sl(valid_p),
-                           cxc, cyc, czc, cgc)
+                           cxc, cyc, czc, cgc,
+                           sl(sr_p) if sr_p is not None else None,
+                           sl(csr_p) if csr_p is not None else None)
 
         ids, msk, count = jax.lax.map(chunk,
                                       jnp.arange(n_chunks, dtype=jnp.int32))

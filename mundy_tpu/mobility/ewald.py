@@ -260,6 +260,17 @@ def ewald_real_apply_cells(op: EwaldRPY, cells, forces: Array,
                          "coefficients (rebuild the operator)")
     n = forces.shape[0]
     payload = gather_from_flat(cells, forces)
+    u = pair_apply_cells3d(cells, box_lengths, payload,
+                           rpy_real_cells_kernel(op), 3)
+    return scatter_to_flat(cells, u, n)
+
+
+def rpy_real_cells_kernel(op: EwaldRPY):
+    """The real-space RPY pair kernel in pair_apply_cells3d's contract
+    (factored so sharded evaluators can drive x-slab slices of the grid)."""
+    if not op.cheb_fw:
+        raise ValueError("rpy_real_cells_kernel needs the Chebyshev window "
+                         "coefficients (rebuild the operator)")
 
     def kernel(DX, DY, DZ, r2, pj):
         r2c = jnp.maximum(r2, 1e-24)
@@ -276,8 +287,7 @@ def ewald_real_apply_cells(op: EwaldRPY, cells, forces: Array,
         uz = jnp.sum(f * fz + grf * DZ, axis=-1)
         return jnp.stack([ux, uy, uz], axis=-1)
 
-    u = pair_apply_cells3d(cells, box_lengths, payload, kernel, 3)
-    return scatter_to_flat(cells, u, n)
+    return kernel
 
 
 def ewald_wave_apply(op: EwaldRPY, pos: Array, forces: Array,

@@ -120,6 +120,7 @@ def pair_apply_cells3d(
     kernel: Callable[..., Array],
     out_dim: int,
     hbm_budget_bytes: float = 2.0e9,
+    x_range=None,
 ) -> Array:
     """Dense pairwise reduction over the 27-cell neighborhood.
 
@@ -132,6 +133,11 @@ def pair_apply_cells3d(
     sentinel and empty-slot pairs carry payload 0). Self-pairs (sep = 0,
     own payload) are NOT excluded — kernels that must skip them subtract
     the self term or use an r2 > 0 mask.
+
+    `x_range = (x0, nxl)`: evaluate only the x-slab of cells [x0, x0+nxl)
+    as TARGETS (candidates still come from the full periodic grid) — the
+    spatial-decomposition hook for sharded evaluation (x0 may be traced,
+    nxl is static). Returns (nxl, ny, nz, C, out_dim); default full grid.
 
     Returns (nx, ny, nz, C, out_dim).
     """
@@ -167,13 +173,22 @@ def pair_apply_cells3d(
     cz = jnp.concatenate([c[2] for c in cand], axis=-1)
     cf = jnp.concatenate([c[3] for c in cand], axis=-2)  # (nx,ny,nz,27C,D)
 
-    ox = pos[..., 0].reshape(nx * ny, nz, C)
-    oy = pos[..., 1].reshape(nx * ny, nz, C)
-    oz = pos[..., 2].reshape(nx * ny, nz, C)
-    cx = cx.reshape(nx * ny, nz, 27 * C)
-    cy = cy.reshape(nx * ny, nz, 27 * C)
-    cz = cz.reshape(nx * ny, nz, 27 * C)
-    cf = cf.reshape(nx * ny, nz, 27 * C, D)
+    ox, oy, oz = pos[..., 0], pos[..., 1], pos[..., 2]
+    if x_range is not None:
+        x0, nxl = x_range
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, x0, nxl, 0)  # noqa: E731
+        ox, oy, oz = sl(ox), sl(oy), sl(oz)
+        cx, cy, cz, cf = sl(cx), sl(cy), sl(cz), sl(cf)
+        nx_out = nxl
+    else:
+        nx_out = nx
+    ox = ox.reshape(nx_out * ny, nz, C)
+    oy = oy.reshape(nx_out * ny, nz, C)
+    oz = oz.reshape(nx_out * ny, nz, C)
+    cx = cx.reshape(nx_out * ny, nz, 27 * C)
+    cy = cy.reshape(nx_out * ny, nz, 27 * C)
+    cz = cz.reshape(nx_out * ny, nz, 27 * C)
+    cf = cf.reshape(nx_out * ny, nz, 27 * C, D)
 
     def chunk_fn(args):
         oxc, oyc, ozc, cxc, cyc, czc, cfc = args
@@ -187,7 +202,7 @@ def pair_apply_cells3d(
     bytes_per_row = (8 + 2 * D) * nz * C * 27 * C * itemsize
     cr = max(1, int(hbm_budget_bytes // max(bytes_per_row, 1)))
     out = jax.lax.map(chunk_fn, (ox, oy, oz, cx, cy, cz, cf), batch_size=cr)
-    return out.reshape(nx, ny, nz, C, out_dim)
+    return out.reshape(nx_out, ny, nz, C, out_dim)
 
 
 def scatter_to_flat(state: Cells3DState, values: Array, n: int) -> Array:

@@ -66,7 +66,12 @@ class LCPSpheresConfig:
     constraint_buffer: float = 0.2
     max_allowable_overlap: float = 1e-5  # StkNgpLCP main param
     max_col_iterations: int = 10_000
-    hydro: str = "none"  # "none" | "rpy_neighbors" | "rpy_ewald" | "rpy_spectral"
+    # "rpy_ring" = dense all-pairs RPY sharded over the device mesh by
+    # ring-rotating source blocks (parallel/ring_rpy.py) — the mid-size
+    # multi-chip dense-mobility mode, with Hilbert-curve particle ordering
+    # applied at init so contiguous shard blocks are spatially local (the
+    # reference's setup-time RCB balance, HP1...neigh_linker.cpp:820)
+    hydro: str = "none"  # "none"|"rpy_neighbors"|"rpy_ewald"|"rpy_spectral"|"rpy_ring"
     pair_capacity_per_body: int = 2
     max_neighbors: int = 32
     cell_capacity: int = 16
@@ -77,7 +82,7 @@ class LCPSpheresConfig:
 
     def __validate__(self):
         assert self.hydro in ("none", "rpy_neighbors", "rpy_ewald",
-                              "rpy_spectral"), self.hydro
+                              "rpy_spectral", "rpy_ring"), self.hydro
         assert self.num_spheres > 0 and self.dt > 0
         assert 0.0 <= self.polydispersity < 1.0
         if self.polydispersity > 0:
@@ -103,7 +108,8 @@ class LCPSpheresState:
 
 
 class LCPSpheresSim:
-    def __init__(self, config: LCPSpheresConfig):
+    def __init__(self, config: LCPSpheresConfig, mesh=None,
+                 mesh_axis: str = "shard"):
         self.config = c = config
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)
@@ -130,6 +136,19 @@ class LCPSpheresSim:
         self.rows_slack = 1.9
         self.ewald = None
         self.spectral = None
+        self.ring_apply = None
+        if c.hydro == "rpy_ring":
+            from jax.sharding import Mesh
+            from mundy_tpu.parallel.ring_rpy import make_ring_rpy_apply
+            if mesh is None:
+                mesh = Mesh(np.array(jax.devices()), (mesh_axis,))
+            d = mesh.shape[mesh_axis]
+            assert c.num_spheres % d == 0, \
+                "rpy_ring needs num_spheres divisible by the mesh axis"
+            self.mesh = mesh
+            self.ring_apply = make_ring_rpy_apply(
+                mesh, mesh_axis, c.radius, c.viscosity,
+                include_self=True, overlap_correction=True)
         if c.hydro == "rpy_spectral":
             # FFT wave sum + density-balanced real-space cutoff (the PVFMM
             # analog path; scales to 1M bodies where the direct k-sum dies).
@@ -214,6 +233,14 @@ class LCPSpheresSim:
         kpos, kstate = jax.random.split(key)
         pos = jax.random.uniform(kpos, (c.num_spheres, 3), dtype=self.dtype,
                                  maxval=c.box_size)
+        if self.ring_apply is not None:
+            # setup-time load balance (the stk::balance RCB role,
+            # HP1...neigh_linker.cpp:820): Hilbert-order the particles so
+            # each ring shard's contiguous block is spatially local
+            from mundy_tpu.parallel.ring_rpy import hilbert_shard_permutation
+            perm = hilbert_shard_permutation(np.asarray(pos), [0.0] * 3,
+                                             [c.box_size] * 3)
+            pos = pos[jnp.asarray(perm)]
         nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
         # Right-size the pair capacity: every BBPGD iteration scatters and
         # gathers over the FULL capacity (~9 ns/row on v5e), so slack is paid
@@ -289,6 +316,11 @@ class LCPSpheresSim:
             return (lambda f: se_rpy_apply_cells(
                 self.spectral, cells, pos, f, (c.box_size,) * 3,
                 self.se_geom, pieces=pieces)[0]), ovf
+        if c.hydro == "rpy_ring":
+            # dense all-pairs RPY ring-rotated over the mesh; the BBPGD
+            # solve calls this every iteration, so each iteration's dots
+            # ride the same ICI ring the mobility does
+            return (lambda f: self.ring_apply(pos, f)), no_ovf
         if c.hydro == "rpy_ewald":
             return (lambda f: ewald_rpy_apply(self.ewald, pos, f, nmat,
                                               self.metric)), no_ovf

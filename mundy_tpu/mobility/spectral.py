@@ -49,6 +49,17 @@ class SpectralEwaldRPY(NamedTuple):
     # at G=512 and overflows the remote-compile request; the elementwise
     # rebuild fuses with the FFT pipeline for free)
     kvec: tuple  # (kx (G,), ky (G,), kz (G//2+1,)) mode wavenumbers
+    # "gaussian": screen-splitting Gaussian window (eta absorbs part of the
+    # Hasimoto screen; forces G up until eta <= 0.9 — at the 1M chromatin
+    # splitting that DOUBLES G). "es": exp-of-semicircle NUFFT window
+    # (Barnett-Magland-Klinteberg), full screen kept in k-space, the
+    # window transform divided out twice (PME-style deconvolution):
+    # same tolerance at smaller P and ~1.6x smaller G.
+    window: str = "gaussian"
+    es_beta: float = 0.0
+    # 1D window-transform samples for the deconvolution: (|w^(kx)| (G,),
+    # |w^(kz)| (G//2+1,)) as device arrays; empty for the gaussian window
+    wk: tuple = ()
 
 
 def _fft_wavenumbers(G: int, box: float):
@@ -68,6 +79,7 @@ def build_spectral_ewald(
     oversample: float = 1.0,
     n_particles: Optional[int] = None,
     dtype=jnp.float32,
+    window: str = "es",
 ) -> SpectralEwaldRPY:
     """Precompute (host, float64) the SE operator.
 
@@ -89,11 +101,41 @@ def build_spectral_ewald(
                            tol=tol, dtype=dtype)
     xi = base.xi
     kmax = 2.0 * xi * math.sqrt(s2)
+    G_min = int(np.ceil(kmax * box / np.pi * oversample))
+
+    if window == "es":
+        # ES / NUFFT route: the full Hasimoto screen stays in k-space, the
+        # window transform is divided out twice. Aliasing error of the ES
+        # kernel (Barnett 2019): ~exp(-pi P sqrt(1 - 1/sigma)) at
+        # oversampling sigma = k_N / kmax; sigma = 1.5 gives e^{-1.81 P}.
+        sigma = 1.5
+        if support is None:
+            support = int(np.ceil(s2 / (np.pi * math.sqrt(1.0 - 1.0 / sigma))))
+            support = max(support, 4)
+        support = int(support)
+        # FINUFFT's shape choice: beta = gamma pi P (1 - 1/(2 sigma))
+        es_beta = 0.97 * np.pi * support * (1.0 - 1.0 / (2.0 * sigma))
+        G = _smooth_size(max(int(np.ceil(sigma * G_min)), 2 * support, 16))
+        eta = 0.0
+        kx, _ = _fft_wavenumbers(G, box)
+        _, kz = _fft_wavenumbers(G, box)
+        h = box / G
+        wh_x = 0.5 * support * h  # physical half-support
+        wkx = _es_window_transform(kx, es_beta, wh_x)
+        wkz = _es_window_transform(kz, es_beta, wh_x)
+        return SpectralEwaldRPY(
+            base=base, grid_n=G, support=support, eta=0.0, kcoeff=None,
+            kvec=(jnp.asarray(kx, dtype), jnp.asarray(kx, dtype),
+                  jnp.asarray(kz, dtype)),
+            window="es", es_beta=float(es_beta),
+            wk=(jnp.asarray(wkx, dtype), jnp.asarray(wkz, dtype)),
+        )
+
     # Error balance (Lindbo & Tornberg 2011): window truncation
     # exp(-xi^2 P^2 h^2 / 2 eta) vs gridding alias exp(-eta k_N^2 / 8 xi^2)
     # with k_N = pi G / L. Equalizing both at tol gives
     #   eta = 8 xi^2 s2 / k_N^2,   P = 4 s2 / pi.
-    G = int(np.ceil(kmax * box / np.pi * oversample))
+    G = G_min
     if support is None:
         support = int(np.ceil(4.0 * s2 / np.pi))
     G = max(G, 2 * support)
@@ -119,6 +161,35 @@ def build_spectral_ewald(
     )
 
 
+def _smooth_size(n: int) -> int:
+    """Smallest 5-smooth integer >= n that is a multiple of 16 (the FFT
+    stays fast and the gridding row decomposition needs m | G with m >= 8)."""
+    def smooth(v):
+        for p in (2, 3, 5):
+            while v % p == 0:
+                v //= p
+        return v == 1
+
+    n = ((n + 15) // 16) * 16
+    while not smooth(n // 16) or not smooth(n):
+        n += 16
+    return n
+
+
+def _es_window_transform(k: np.ndarray, beta: float, wh: float) -> np.ndarray:
+    """1D Fourier transform of the ES window at wavenumbers k (host,
+    float64 Gauss-Legendre quadrature): w^(k) = 2 int_0^wh
+    exp(beta (sqrt(1 - (x/wh)^2) - 1)) cos(k x) dx."""
+    nodes, wts = np.polynomial.legendre.leggauss(200)
+    x = 0.5 * wh * (nodes + 1.0)  # [0, wh]
+    jac = 0.5 * wh
+    t = x / wh
+    w = np.exp(beta * (np.sqrt(np.maximum(1.0 - t * t, 0.0)) - 1.0))
+    # (K, Q) cosine matrix
+    c = np.cos(np.asarray(k)[:, None] * x[None, :])
+    return 2.0 * jac * (c * (w * wts)[None, :]).sum(axis=1)
+
+
 def _window_1d(op: SpectralEwaldRPY, frac: Array, dtype):
     """(N, P) Gaussian window weights along one axis.
 
@@ -127,11 +198,17 @@ def _window_1d(op: SpectralEwaldRPY, frac: Array, dtype):
     point, i.e. the P nearest grid points."""
     P = op.support
     h = op.base.box / op.grid_n
+    offs = jnp.arange(P, dtype=dtype) - (P // 2 - 1)
+    d = offs[None, :] - frac[:, None]  # (N, P) grid-unit distances
+    if op.window == "es":
+        t = d / (0.5 * P)
+        s = jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0))
+        w = jnp.exp(jnp.asarray(op.es_beta, dtype) * (s - 1.0))
+        return jnp.where(jnp.abs(t) < 1.0, w, 0.0)
     xi = op.base.xi
     c = 2.0 * xi * xi / op.eta
     pref = math.sqrt(c / math.pi)  # 1D-normalized Gaussian amplitude
-    offs = jnp.arange(P, dtype=dtype) - (P // 2 - 1)
-    dx = (offs[None, :] - frac[:, None]) * h  # (N, P) distances
+    dx = d * h
     return pref * jnp.exp(-c * dx * dx)
 
 
@@ -215,6 +292,15 @@ def _k_apply(op: SpectralEwaldRPY, grid: Array) -> Array:
     sinc_ka = jnp.sinc(kn * (op.base.radius / jnp.pi))
     H = (1 + k2 / (4 * xi**2)) * jnp.exp(-k2 * ((1.0 - op.eta) / (4 * xi**2)))
     c = sinc_ka**2 * H * inv_k2 / (op.base.viscosity * op.base.box**3)
+    if op.window == "es":
+        # PME-style deconvolution: divide the separable physical-units
+        # window transform out twice — once for the spread, once for the
+        # interpolation (the Gaussian window instead folds its transform
+        # into H via the eta screen splitting; ES keeps the full screen
+        # above and uses an unnormalized interpolation kernel).
+        wkx, wkz = op.wk
+        wprod = (wkx[:, None, None] * wkx[None, :, None] * wkz[None, None, :])
+        c = c / jnp.maximum(wprod * wprod, 1e-300)
     uhat = jnp.stack([
         c * (fhat[..., 0] - proj * KX),
         c * (fhat[..., 1] - proj * KY),
@@ -235,7 +321,8 @@ def make_se_geometry(op: SpectralEwaldRPY, n_particles: int,
 
     return make_se_grid_rows(op.grid_n, op.support, op.base.box,
                              op.base.xi, op.eta, n_particles,
-                             capacity_slack=capacity_slack)
+                             capacity_slack=capacity_slack,
+                             kind=op.window, beta=op.es_beta)
 
 
 def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,

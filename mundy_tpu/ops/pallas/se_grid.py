@@ -55,12 +55,37 @@ class SEGridRows(NamedTuple):
     P: int  # window support points per axis
     R: int  # row slot capacity
     box: float
-    c: float  # window exponent coefficient 2 xi^2 / eta
+    c: float  # Gaussian window exponent coefficient 2 xi^2 / eta
+    # window kind: "gaussian" (truncated screen-splitting Gaussian) or
+    # "es" (exp-of-semicircle / Barnett-Magland-Klinteberg NUFFT kernel,
+    # deconvolved in k-space — smaller P and G for the same tolerance)
+    kind: str = "gaussian"
+    beta: float = 0.0  # ES shape parameter
+    wh: float = 0.0  # ES half-support in grid units (= P/2)
+
+
+def window_weights_1d(geom: SEGridRows, d_grid: Array, dtype) -> Array:
+    """1D gridding-window weights at grid-unit distances d_grid.
+
+    Gaussian: physically-normalized sqrt(c/pi) exp(-c (d h)^2).
+    ES: exp(beta (sqrt(1 - (d/wh)^2) - 1)), zero outside |d| < wh — NOT
+    normalized; its transform is divided out in k-space (deconvolution)."""
+    if geom.kind == "es":
+        t = d_grid / geom.wh
+        inside = jnp.abs(t) < 1.0
+        s = jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0))
+        w = jnp.exp(jnp.asarray(geom.beta, dtype) * (s - 1.0))
+        return jnp.where(inside, w, 0.0).astype(dtype)
+    h = geom.box / geom.G
+    pref = math.sqrt(geom.c / math.pi)
+    dx = d_grid * h
+    return (pref * jnp.exp(-geom.c * dx * dx)).astype(dtype)
 
 
 def make_se_grid_rows(G: int, P: int, box: float, xi: float, eta: float,
                       n_particles: int, capacity_slack: float = 1.15,
-                      min_m: int = 8) -> SEGridRows:
+                      min_m: int = 8, kind: str = "gaussian",
+                      beta: float = 0.0) -> SEGridRows:
     """Choose the row cell size m (divides G, >= P to bound slab overlap)
     and the slot capacity.
 
@@ -75,8 +100,9 @@ def make_se_grid_rows(G: int, P: int, box: float, xi: float, eta: float,
     occ = n_particles / n_rows
     R = int(occ * capacity_slack + 6 * math.sqrt(occ + 4) + 8)
     R = ((R + 7) // 8) * 8
-    c = 2.0 * xi * xi / eta
-    return SEGridRows(G=G, m=m, P=P, R=R, box=box, c=c)
+    c = 2.0 * xi * xi / max(eta, 1e-300)
+    return SEGridRows(G=G, m=m, P=P, R=R, box=box, c=c, kind=kind,
+                      beta=float(beta), wh=0.5 * P)
 
 
 def _bin_rows(geom: SEGridRows, pos: Array):
@@ -120,12 +146,11 @@ def _windows(geom: SEGridRows, pos: Array, perm: Array, dtype):
     u = p / h
     base = jnp.floor(u).astype(jnp.int32)
     frac = (u - base).astype(dtype)
-    pref = math.sqrt(geom.c / math.pi)  # 1D-normalized Gaussian amplitude
     offs_p = jnp.arange(P, dtype=dtype) - (P // 2 - 1)
 
     def w1(fr):
-        dx = (offs_p[None, None, :] - fr[..., None]) * h
-        return pref * jnp.exp(-geom.c * dx * dx)
+        return window_weights_1d(geom, offs_p[None, None, :] - fr[..., None],
+                                 dtype)
 
     wx = jnp.where(valid[..., None], w1(frac[..., 0]), 0.0)
     wy = w1(frac[..., 1])
@@ -136,8 +161,7 @@ def _windows(geom: SEGridRows, pos: Array, perm: Array, dtype):
     # slab origins: x at -XPAD/2 wrap pad; y/z at m*iy - P/2
     offs_w = jnp.arange(W, dtype=dtype)
     zslab = (iz * m - P // 2).astype(dtype)[..., None] + offs_w[None, None, :]
-    dz = (zslab - u[..., 2][..., None]) * h
-    wz = pref * jnp.exp(-geom.c * dz * dz)
+    wz = window_weights_1d(geom, zslab - u[..., 2][..., None], dtype)
     # dynamic patch offsets inside the slab
     gx0 = base[..., 0] - (P // 2 - 1) + XPAD // 2
     gy0 = base[..., 1] - (P // 2 - 1) - (iy * m - P // 2)
@@ -267,13 +291,8 @@ def _dense_axis_windows(geom: SEGridRows, u: Array, valid, dtype):
     u: (R, 3) grid-unit positions. Returns wx (R, G+XPAD), zeroed on
     invalid slots. (lax.map with batch_size vmaps this over row chunks.)"""
     G = geom.G
-    h = geom.box / G
-    pref = math.sqrt(geom.c / math.pi)
-    c = geom.c
-
     xg = (jnp.arange(G + XPAD, dtype=dtype) - XPAD // 2)
-    dx = (xg[None, :] - u[:, 0][:, None]) * h
-    wx = pref * jnp.exp(-c * dx * dx)
+    wx = window_weights_1d(geom, xg[None, :] - u[:, 0][:, None], dtype)
     return jnp.where(valid[:, None], wx, 0.0)
 
 
@@ -282,16 +301,11 @@ def _dense_yz(geom: SEGridRows, u: Array, iy: Array, iz: Array, dtype):
     i*m - P//2)."""
     G, m, P = geom.G, geom.m, geom.P
     W = m + P
-    h = geom.box / G
-    pref = math.sqrt(geom.c / math.pi)
-    c = geom.c
     offs_w = jnp.arange(W, dtype=dtype)
     yslab = (iy * m - P // 2).astype(dtype) + offs_w
-    dy = (yslab[None, :] - u[:, 1][:, None]) * h
-    wy = pref * jnp.exp(-c * dy * dy)
+    wy = window_weights_1d(geom, yslab[None, :] - u[:, 1][:, None], dtype)
     zslab = (iz * m - P // 2).astype(dtype) + offs_w
-    dz = (zslab[None, :] - u[:, 2][:, None]) * h
-    wz = pref * jnp.exp(-c * dz * dz)
+    wz = window_weights_1d(geom, zslab[None, :] - u[:, 2][:, None], dtype)
     return wy, wz
 
 

@@ -96,3 +96,56 @@ def test_slab_lcp_conserves_and_resolves(mesh8):
     # scale sqrt(6 D dt) ~ 0.05 shifted into the next solve — well under
     # the radius but not at solver tolerance
     assert brute_max_overlap(pos, box, radius) < 0.25 * radius
+
+
+def test_lcp_ring_rpy_hydro(mesh8):
+    """hydro: rpy_ring — the dense RPY mobility ring-rotated over the mesh
+    inside the BBPGD solve, with Hilbert setup balancing. Must resolve the
+    initial overlaps like the local-drag path and match a single-device
+    dense-RPY solve step."""
+    from mundy_tpu.constraints import collision_setup_spheres, resolve_collisions
+    from mundy_tpu.mobility import rpy_apply_dense
+
+    n, radius = 512, 0.5
+    box = float((n * (4 / 3) * np.pi * radius**3 / 0.05) ** (1 / 3))
+    cfg = LCPSpheresConfig(num_spheres=n, box_size=box, radius=radius,
+                           dt=1e-3, hydro="rpy_ring", dtype="float64",
+                           num_steps=10, log_every=100)
+    sim = LCPSpheresSim(cfg, mesh=mesh8)
+    state = sim.init()
+    # Hilbert ordering: contiguous blocks are spatially local — mean
+    # intra-block pair distance far below the random-order baseline
+    pos = np.asarray(state.pos)
+    blk = pos[: n // 8]
+    spread = np.linalg.norm(blk - blk.mean(0), axis=1).mean()
+    rng = np.random.default_rng(0)
+    rand = pos[rng.permutation(n)[: n // 8]]
+    rand_spread = np.linalg.norm(rand - rand.mean(0), axis=1).mean()
+    assert spread < 0.7 * rand_spread
+
+    over0 = sim.max_overlap(state)
+    assert over0 > 0.1
+    state = sim.run_block(state, 10)
+    jax.block_until_ready(state.pos)
+    assert not bool(state.overflow)
+    assert sim.max_overlap(state) < 1e-4
+
+    # one-step cross-check: the ring mobility inside resolve_collisions
+    # gives the same gamma as the single-device dense RPY operator
+    from mundy_tpu.ops.segments import SegmentWindows
+    windows = SegmentWindows(starts=state.seg_starts,
+                             block_bodies=sim.seg_block,
+                             window=sim.seg_window,
+                             overflow=jnp.asarray(False))
+    setup = collision_setup_spheres(state.pos, jnp.asarray(radius),
+                                    state.pairs, metric=sim.metric,
+                                    windows=windows)
+    g_ring, _v, _r = resolve_collisions(
+        setup, lambda f: sim.ring_apply(state.pos, f), n, cfg.dt,
+        max_allowable_overlap=1e-8)
+    g_dense, _v, _r = resolve_collisions(
+        setup, lambda f: rpy_apply_dense(state.pos, f, radius, 1.0,
+                                         overlap_correction=True),
+        n, cfg.dt, max_allowable_overlap=1e-8)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_dense),
+                               atol=1e-8)

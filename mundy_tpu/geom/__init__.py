@@ -71,10 +71,17 @@ from mundy_tpu.geom.aabb import (
 from mundy_tpu.geom.transform import (
     transform_points,
     inverse_transform_points,
+    transform_primitive,
+    inverse_transform_primitive,
 )
 from mundy_tpu.geom.randomize import (
     random_points_in_box,
     random_unit_quaternions,
+    random_spheres,
+    random_spherocylinders,
+    random_segments,
+    random_ellipsoids,
+    random_rings,
 )
 
 __all__ = [
@@ -91,5 +98,8 @@ __all__ = [
     "compute_obb_spherocylinder", "compute_obb_ellipsoid",
     "aabb_union", "aabb_inflate",
     "transform_points", "inverse_transform_points",
+    "transform_primitive", "inverse_transform_primitive",
     "random_points_in_box", "random_unit_quaternions",
+    "random_spheres", "random_spherocylinders", "random_segments",
+    "random_ellipsoids", "random_rings",
 ]

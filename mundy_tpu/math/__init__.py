@@ -9,6 +9,7 @@ batched by construction.
 """
 
 from mundy_tpu.math import linalg, quaternion, spacefill, convex, lbfgs
+from mundy_tpu.math.tolerance import get_relative_tolerance, get_zero_tolerance
 from mundy_tpu.math.linalg import (
     dot,
     cross,

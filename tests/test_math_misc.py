@@ -176,3 +176,76 @@ def test_require():
     require(True, "fine")
     with pytest.raises(Exception, match="boom"):
         require(False, "boom")
+
+
+def test_zero_tolerance_table():
+    """Per-dtype zero tolerances (ref Tolerance.hpp get_zero_tolerance)."""
+    import jax.numpy as jnp
+
+    from mundy_tpu.math import get_relative_tolerance, get_zero_tolerance
+
+    assert get_zero_tolerance(np.float64) < get_zero_tolerance(np.float32)
+    assert get_zero_tolerance(np.float32) < get_zero_tolerance(jnp.bfloat16)
+    assert get_zero_tolerance(np.int32) == 0.0
+    assert get_relative_tolerance(np.float32) > np.finfo(np.float32).eps
+    with pytest.raises(TypeError):
+        get_zero_tolerance(np.complex64)
+
+
+def test_transform_primitive_round_trip(rng):
+    """transform then inverse_transform returns every primitive field."""
+    import jax
+    import jax.numpy as jnp
+
+    from mundy_tpu.geom import (
+        inverse_transform_primitive,
+        random_ellipsoids,
+        random_rings,
+        random_segments,
+        random_spheres,
+        random_spherocylinders,
+        random_unit_quaternions,
+        transform_primitive,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    q = random_unit_quaternions(ks[0], 1, dtype=jnp.float64)[0]
+    t = jnp.asarray([0.3, -1.2, 2.0], jnp.float64)
+    prims = [
+        random_spheres(ks[1], 5, [0] * 3, [4] * 3, (0.2, 0.7), jnp.float64),
+        random_spherocylinders(ks[2], 5, [0] * 3, [4] * 3,
+                               dtype=jnp.float64),
+        random_segments(ks[3], 5, [0] * 3, [4] * 3, (0.5, 2.0), jnp.float64),
+        random_ellipsoids(ks[4], 5, [0] * 3, [4] * 3, dtype=jnp.float64),
+        random_rings(ks[5], 5, [0] * 3, [4] * 3, dtype=jnp.float64),
+    ]
+    for p in prims:
+        p2 = inverse_transform_primitive(q, t, transform_primitive(q, t, p))
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+            err = float(jnp.abs(a - b).max())
+            # orientations: q and -q are one rotation
+            if a.ndim == 2 and a.shape[-1] == 4:
+                err = min(err, float(jnp.abs(a + b).max()))
+            assert err < 1e-12, (type(p).__name__, err)
+
+
+def test_transform_rigid_preserves_shape(rng):
+    """Distances between transformed segment endpoints are invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    from mundy_tpu.geom import (
+        random_segments,
+        random_unit_quaternions,
+        transform_primitive,
+    )
+
+    key = jax.random.PRNGKey(3)
+    seg = random_segments(key, 8, [0] * 3, [5] * 3, (0.5, 2.0), jnp.float64)
+    q = random_unit_quaternions(jax.random.PRNGKey(4), 1, jnp.float64)[0]
+    t = jnp.asarray([1.0, 2.0, 3.0], jnp.float64)
+    s2 = transform_primitive(q, t, seg)
+    l1 = jnp.linalg.norm(seg.end - seg.start, axis=-1)
+    l2 = jnp.linalg.norm(s2.end - s2.start, axis=-1)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-12)

@@ -125,8 +125,16 @@ class ChromatinState:
 
 
 class ChromatinSim:
-    def __init__(self, config: ChromatinConfig):
+    def __init__(self, config: ChromatinConfig, mesh=None,
+                 mesh_axis: str = "shard"):
+        """`mesh`: optional device mesh — with hydro == "rpy_spectral" the
+        Stokes mobility runs SHARDED over it (parallel/spectral_shard.py:
+        per-shard gridding + psum'd grid + slab-evaluated real space), the
+        BASELINE #5 'sharded over a slice' mode."""
         self.config = c = config
+        self._mesh = mesh
+        self._mesh_axis = mesh_axis
+        self.sharded_se = None
         self.dtype = jnp.dtype(c.dtype)
         self.N = c.num_chains * c.beads_per_chain
         self.X = c.num_crosslinkers
@@ -218,6 +226,12 @@ class ChromatinSim:
             g3 = make_cell_grid3d([c.box_size] * 3, edge, self.N,
                                   dtype=self.dtype)
             self.hydro_cells_grid = g3.replace(capacity=max(g3.capacity, cap))
+            if mesh is not None:
+                dmesh = mesh.shape[mesh_axis]
+                assert self.N % dmesh == 0, \
+                    "sharded spectral hydro needs N divisible by the mesh"
+                # built lazily in _make_sharded_se once se_geom is
+                # right-sized from measured occupancy (init)
 
         # backbone connectivity (i, i+1 within each chain)
         bead = np.arange(self.N)
@@ -295,6 +309,8 @@ class ChromatinSim:
             need = ((int(occ * 1.5) + 8 + 7) // 8) * 8
             if need > g.R:
                 self.se_geom = g._replace(R=need)
+            if self._mesh is not None:
+                self._make_sharded_se()
 
         home = jnp.asarray(
             rng.integers(0, self.N, size=max(self.X, 1))[: self.X], jnp.int32
@@ -342,6 +358,18 @@ class ChromatinSim:
             chunk=min(c.chunk, max(256, self.N)), exclude=exclude,
         )
         return nmat, clist.overflow | nmat.overflow
+
+    def _make_sharded_se(self):
+        """(Re)build the sharded spectral mobility against the current
+        se_geom/cells capacities (the per-shard binning reuses the
+        globally right-sized R — a safe bound for any shard's subset)."""
+        from mundy_tpu.parallel.spectral_shard import make_sharded_se_rpy_apply
+
+        c = self.config
+        self.sharded_se, _sh = make_sharded_se_rpy_apply(
+            self._mesh, self._mesh_axis, self.spectral, self.se_geom,
+            self.hydro_cells_grid, self.N, (c.box_size,) * 3,
+            dtype=self.dtype)
 
     def _build_kmc_candidates(self, pos: Array, home: Array):
         """Crosslinker candidate search at its own cutoff (the reference
@@ -447,17 +475,23 @@ class ChromatinSim:
             # periodic spectral-Ewald RPY: dense 3D-cell real-space engine
             # + dense-MXU FFT wave sum (the PVFMM-analog at-scale Stokes
             # mobility). Cells + binning rebuilt per step (one sort each).
-            from mundy_tpu.mobility.spectral import se_rpy_apply_cells
-            from mundy_tpu.neighbor.cells3d import build_cells3d
-            from mundy_tpu.ops.pallas.se_grid import se_bin_dense
-            pieces = se_bin_dense(self.se_geom, state.pos, self.dtype)
-            cells = build_cells3d(state.pos, self.hydro_cells_grid)
-            vel, se_ovf = se_rpy_apply_cells(self.spectral, cells, state.pos,
-                                             f, (c.box_size,) * 3,
-                                             self.se_geom, pieces=pieces)
-            # both SE binning rows and 3D cells drop bodies on overflow
-            state = state.replace(
-                overflow=state.overflow | cells.overflow | se_ovf)
+            if self.sharded_se is not None:
+                # BASELINE #5 sharded mode: per-shard gridding + psum'd
+                # grid + slab-evaluated real space over the mesh
+                vel, se_ovf = self.sharded_se(state.pos, f)
+                state = state.replace(overflow=state.overflow | se_ovf)
+            else:
+                from mundy_tpu.mobility.spectral import se_rpy_apply_cells
+                from mundy_tpu.neighbor.cells3d import build_cells3d
+                from mundy_tpu.ops.pallas.se_grid import se_bin_dense
+                pieces = se_bin_dense(self.se_geom, state.pos, self.dtype)
+                cells = build_cells3d(state.pos, self.hydro_cells_grid)
+                vel, se_ovf = se_rpy_apply_cells(
+                    self.spectral, cells, state.pos, f, (c.box_size,) * 3,
+                    self.se_geom, pieces=pieces)
+                # both SE binning rows and 3D cells drop bodies on overflow
+                state = state.replace(
+                    overflow=state.overflow | cells.overflow | se_ovf)
         elif c.hydro == "rpy_periphery":
             # the reference's fullest pipeline: all-pairs RPY drift with the
             # no-slip periphery BIE correction — ambient flow evaluated at
@@ -549,6 +583,8 @@ class ChromatinSim:
             g3 = self.hydro_cells_grid
             self.hydro_cells_grid = g3.replace(
                 capacity=grow_int(g3.capacity))
+            if self._mesh is not None:
+                self._make_sharded_se()
         self.__dict__.pop("_run_jit", None)
         nmat, hmat, kmat, ovf = self._build_nmat(state.pos, state.xl_home)
         return state.replace(nmat=nmat, hydro_nmat=hmat, kmc_nmat=kmat,

@@ -5,6 +5,9 @@ import numpy as np
 
 from mundy_tpu.driver.apps.chromatin import ChromatinConfig, ChromatinSim
 from mundy_tpu.kmc import BINDING_STATE
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def cfg(**kw):

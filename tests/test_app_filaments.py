@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mundy_tpu.driver.apps.filaments import FilamentsConfig, FilamentsSim
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def cfg(**kw):

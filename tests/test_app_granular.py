@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mundy_tpu.driver.apps.granular import GranularConfig, GranularSim
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_settles_under_gravity_with_friction():

@@ -14,6 +14,8 @@ from jax.sharding import Mesh
 from mundy_tpu.parallel import make_sharded_spheres_step
 from mundy_tpu.parallel.sharded_step import make_slab_spheres_step
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def mesh(devices8):

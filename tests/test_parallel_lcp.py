@@ -11,6 +11,8 @@ from jax.sharding import Mesh
 from mundy_tpu.driver.apps.lcp_spheres import LCPSpheresConfig, LCPSpheresSim
 from mundy_tpu.parallel.slab_lcp import make_slab_lcp_spheres_step
 
+pytestmark = pytest.mark.slow
+
 
 def flat_pos(state, n):
     """Row-layout shard state -> (n, 3) positions ordered by gid."""

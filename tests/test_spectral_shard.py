@@ -13,6 +13,8 @@ from mundy_tpu.neighbor.cells3d import build_cells3d, make_cell_grid3d
 from mundy_tpu.ops.pallas.se_grid import se_bin_dense
 from mundy_tpu.parallel.spectral_shard import make_sharded_se_rpy_apply
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh8():
@@ -77,3 +79,31 @@ def test_sharded_flags_binning_overflow(mesh8):
         dtype=jnp.float64)
     _u, ovf = apply_fn(jax.device_put(pos, shard), jax.device_put(f, shard))
     assert bool(ovf)
+
+
+def test_sharded_chromatin_matches_single_device(mesh8):
+    """ChromatinSim(mesh=...) runs BASELINE #5's hydro sharded over the
+    mesh; the trajectory must track the single-device app."""
+    from mundy_tpu.driver.apps.chromatin import ChromatinConfig, ChromatinSim
+
+    def cfg():
+        return ChromatinConfig(
+            num_chains=2, beads_per_chain=64, bead_radius=0.5,
+            num_crosslinkers=0, diffusion_coeff=0.0, dt=2e-4,
+            hydro="rpy_spectral", box_size=24.0, num_steps=10,
+            dtype="float64", chunk=256, log_every=1000)
+
+    single = ChromatinSim(cfg())
+    sharded = ChromatinSim(cfg(), mesh=mesh8)
+    s1 = single.init()
+    s2 = sharded.init()
+    # built lazily in init() once se_geom is right-sized from occupancy
+    assert sharded.sharded_se is not None
+    s1 = single.run_block(s1, 10)
+    s2 = sharded.run_block(s2, 10)
+    jax.block_until_ready(s2.pos)
+    assert not bool(s1.overflow) and not bool(s2.overflow)
+    p1, p2 = np.asarray(s1.pos), np.asarray(s2.pos)
+    diff = p1 - p2
+    diff -= 24.0 * np.round(diff / 24.0)
+    assert np.abs(diff).max() < 1e-8, np.abs(diff).max()

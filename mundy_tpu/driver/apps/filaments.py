@@ -151,7 +151,7 @@ class FilamentsSim:
         sums return via one scatter each."""
         from mundy_tpu.neighbor.rows import (
             orthorhombic_lengths,
-            pair_accumulate_multi,
+            pair_accumulate_segments,
         )
 
         c = self.config
@@ -173,18 +173,10 @@ class FilamentsSim:
                                              c.poissons_ratio), self.dtype)
         E = self.E
 
-        def pair_fn(sep, r2, mask, own_e, cand_e, own_g, cand_g):
-            a0 = -own_e
-            a1 = own_e
-            b0 = sep - cand_e
-            b1 = sep + cand_e
-            s, _t, c1, c2 = segment_segment_closest(
-                jnp.broadcast_to(a0, b0.shape),
-                jnp.broadcast_to(a1, b0.shape), b0, b1)
-            d = c2 - c1
-            d2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24)
-            rinv = jax.lax.rsqrt(d2)
-            dist = d2 * rinv
+        def out_fn(s, t, dx, dy, dz, d2, own_g, cand_g):
+            d2c = jnp.maximum(d2, 1e-24)
+            rinv = jax.lax.rsqrt(d2c)
+            dist = d2c * rinv
             mag = hertzian_pair_force(dist - two_r, r_eff, e_eff)
             # exclude same-filament adjacent segments (the nmat exclude
             # table): |dg| == 1 and min gid not at a filament boundary
@@ -192,14 +184,16 @@ class FilamentsSim:
             min_g = jnp.minimum(own_g, cand_g)
             adjacent = (jnp.abs(jnp.abs(dg) - 1.0) < 0.5) & (
                 jnp.abs(jnp.mod(min_g, float(E)) - (E - 1)) > 0.5)
-            mag = jnp.where(mask & ~adjacent, mag, 0.0)
-            fvec = -(mag * rinv)[..., None] * d
-            return (1.0 - s)[..., None] * fvec, s[..., None] * fvec
+            w = jnp.where(adjacent, 0.0, -(mag * rinv))
+            fx, fy, fz = w * dx, w * dy, w * dz
+            ws, we = 1.0 - s, s
+            return (ws * fx, ws * fy, ws * fz, we * fx, we * fy, we * fz)
 
-        fs_rows, fe_rows = pair_accumulate_multi(
-            rows_cur, self.metric, pair_fn,
-            extra_fields=(row_e, gid_f),
-            box=orthorhombic_lengths(self.metric))
+        fsx, fsy, fsz, fex, fey, fez = pair_accumulate_segments(
+            rows_cur, orthorhombic_lengths(self.metric), row_e, out_fn,
+            extra_fields=(gid_f,))
+        fs_rows = jnp.stack([fsx, fsy, fsz], axis=-1)
+        fe_rows = jnp.stack([fex, fey, fez], axis=-1)
         idx = jnp.where(rows.valid.reshape(-1), rows.gid.reshape(-1), self.S)
         f_start = jnp.zeros((self.S, 3), self.dtype).at[idx].set(
             fs_rows.reshape(-1, 3), mode="drop")

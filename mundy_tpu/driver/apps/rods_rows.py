@@ -31,7 +31,6 @@ from mundy_tpu.driver.apps.rods import RodsConfig
 from mundy_tpu.dynamics import brownian_velocity_keyed, euler_step_rigid
 from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
 from mundy_tpu.geom import periodic
-from mundy_tpu.geom.distance import segment_segment_closest
 from mundy_tpu.geom.randomize import random_unit_quaternions
 from mundy_tpu.math.quaternion import quat_rotate
 from mundy_tpu.neighbor.rows import (
@@ -40,7 +39,7 @@ from mundy_tpu.neighbor.rows import (
     make_row_grid,
     moved_beyond_skin,
     orthorhombic_lengths,
-    pair_accumulate_multi,
+    pair_accumulate_segments,
     rows_to_flat,
 )
 
@@ -124,42 +123,46 @@ class RowRodsSim:
         """Dense row-block segment-segment Hertzian contact.
 
         Computes axes = R(q) z once per rod (regular O(N)), then evaluates
-        every candidate pair in the 9-row stencil: closest points of the
-        two center segments, Hertzian push along the connecting line, and
-        the torque from the surface contact point (matches
+        every candidate pair in the 9-row stencil on COMPONENT PLANES
+        (pair_accumulate_segments): closest points of the two center
+        segments, Hertzian push along the connecting line, and the torque
+        from the surface contact point (matches
         RodsSim._contact_forces_torques arithmetic exactly)."""
         c = self.config
         half = jnp.asarray(0.5 * c.length, self.dtype)
         two_r = jnp.asarray(2.0 * c.radius, self.dtype)
         r_eff = jnp.asarray(0.5 * c.radius, self.dtype)
         e_eff = jnp.asarray(self.e_eff, self.dtype)
+        radius = jnp.asarray(c.radius, self.dtype)
         zhat = jnp.zeros((3,), self.dtype).at[2].set(1.0)
         axes = quat_rotate(quat, zhat)  # (ny, nz, R, 3)
+        hedges = half * jnp.where(rows.valid[..., None], axes, 0.0)
+        hx, hy, hz = hedges[..., 0], hedges[..., 1], hedges[..., 2]
 
-        def pair_fn(sep, r2, mask, own_ax, cand_ax):
-            # own segment endpoints in the own-center frame; candidate
-            # endpoints offset by sep = cand_center - own_center (min-image)
-            a0 = -half * own_ax
-            a1 = half * own_ax
-            b0 = sep - half * cand_ax
-            b1 = sep + half * cand_ax
-            _s, _t, c1, c2 = segment_segment_closest(
-                jnp.broadcast_to(a0, b0.shape),
-                jnp.broadcast_to(a1, b0.shape), b0, b1)
-            d = c2 - c1
-            d2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24)
-            rinv = jax.lax.rsqrt(d2)
-            dist = d2 * rinv
+        def out_fn(s, t, dx, dy, dz, d2, oex, _cex, oey, _cey, oez, _cez):
+            d2c = jnp.maximum(d2, 1e-24)
+            rinv = jax.lax.rsqrt(d2c)
+            dist = d2c * rinv
             mag = hertzian_pair_force(dist - two_r, r_eff, e_eff)
-            mag = jnp.where(mask, mag, 0.0)
-            fvec = -(mag * rinv)[..., None] * d  # on the own rod
-            contact = c1 + (c.radius * rinv)[..., None] * d
-            tau = jnp.cross(contact, fvec)
-            return fvec, tau
+            w = -(mag * rinv)  # force on the own rod along own -> cand
+            fx, fy, fz = w * dx, w * dy, w * dz
+            # contact point in the own-center frame: c1 + radius * d_hat
+            # with c1 = (2s - 1) * half_edge
+            u2 = 2.0 * s - 1.0
+            rr = radius * rinv
+            px = u2 * oex + rr * dx
+            py = u2 * oey + rr * dy
+            pz = u2 * oez + rr * dz
+            return (fx, fy, fz,
+                    py * fz - pz * fy,
+                    pz * fx - px * fz,
+                    px * fy - py * fx)
 
-        return pair_accumulate_multi(rows, self.metric, pair_fn,
-                                     extra_fields=(axes,),
-                                     box=self.box_static)
+        fx, fy, fz, tx, ty, tz = pair_accumulate_segments(
+            rows, self.box_static, hedges, out_fn,
+            extra_fields=(hx, hy, hz))
+        return (jnp.stack([fx, fy, fz], axis=-1),
+                jnp.stack([tx, ty, tz], axis=-1))
 
     def _inner_step(self, state: RowRodsState) -> RowRodsState:
         c = self.config

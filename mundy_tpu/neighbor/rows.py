@@ -247,6 +247,11 @@ def _pair_force_chunk(own_pos, own_valid, own_extras, blocks, metric, pair_fn,
     return force
 
 
+def _lane_pad(r: int) -> int:
+    """Padded lane extent of a length-r minor axis on TPU (multiple of 128)."""
+    return max(-(-r // 128) * 128, 128)
+
+
 def pair_accumulate(
     state: RowState,
     metric: Metric,
@@ -281,8 +286,10 @@ def pair_accumulate(
     blocks, fast = _shift_blocks(state, extra_fields, box)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
 
-    # ~30 live (R,R)-blocks per row observed in the compiled 9-shift graph
-    bytes_per_row = 30 * nz * R * R * itemsize
+    # ~30 live (R,R)-blocks per row observed in the compiled 9-shift graph;
+    # the lane (minor) dim of each block pads to a multiple of 128 on TPU
+    # (R=144 -> 256 lanes, 1.78x), which the budget must see.
+    bytes_per_row = 30 * nz * R * _lane_pad(R) * itemsize
     cy = int(hbm_budget_bytes // max(bytes_per_row, 1))
     if cy >= ny or cy < 1:
         return _pair_force_chunk(pos, valid, extra_fields, blocks, metric,
@@ -374,7 +381,11 @@ def pair_accumulate_multi(
     blocks, fast = _shift_blocks(state, extra_fields, box)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
 
-    bytes_per_row = 30 * nz * R * R * itemsize
+    # multi-output kernels hold force AND torque (..., R, R, 3) temps per
+    # shift block plus remat copies across the lax.map boundary — budget
+    # with the TPU lane padding (see pair_accumulate) and a 2x multi-output
+    # factor or the 100k-rod graph OOMs a 16 GB chip.
+    bytes_per_row = 60 * nz * R * _lane_pad(R) * itemsize
     cy = int(hbm_budget_bytes // max(bytes_per_row, 1))
     if cy >= ny or cy < 1:
         return _pair_multi_chunk(pos, valid, extra_fields, blocks, metric,
@@ -681,6 +692,203 @@ def pair_accumulate_central_sym(
         fb = f_par[..., b * R:(b + 1) * R, :]
         force = force + jnp.roll(fb, (dy, dz), axis=(0, 1))
     return force
+
+
+def _segment_pair_chunk(ox, oy, oz, oex, oey, oez, own_scalars,
+                        cx, cy_, cz, cex, cey, cez, cand_scalars,
+                        out_fn, lx_px):
+    """Clamped segment-segment closest points for one y-chunk, entirely on
+    component planes: own midpoints/half-edges (chunk, nz, R), candidates
+    (chunk, nz, 9R), every per-pair quantity a (chunk, nz, R, 9R) plane that
+    tiles the VPU's (8, 128) registers with no size-3 minor axis. Same math
+    as geom.distance.segment_segment_closest (edge-clamped Lumelsky with the
+    near-parallel best-of-4-endpoint fallback; reference algorithm
+    distance/LineSegmentLineSegment.hpp:51-200), so the two engines agree to
+    roundoff."""
+    o = lambda p: p[..., :, None]    # own plane -> pair block  # noqa: E731
+    k = lambda p: p[..., None, :]    # cand plane -> pair block  # noqa: E731
+    SX = k(cx) - o(ox)               # cand mid - own mid (minimum image)
+    if lx_px is not None:
+        lx, inv_lx = lx_px
+        SX = SX - lx * jnp.round(SX * inv_lx)
+    SY = k(cy_) - o(oy)
+    SZ = k(cz) - o(oz)
+    # segment endpoints: own a0/a1 = -/+ E, cand b0/b1 = S -/+ F, so
+    # u = 2E, v = 2F, w = a0 - b0 = F - E - S (componentwise planes)
+    dt = ox.dtype
+    eps = jnp.asarray(1e-12 if dt == jnp.float64 else 1e-8, dt)
+    WX = k(cex) - o(oex) - SX
+    WY = k(cey) - o(oey) - SY
+    WZ = k(cez) - o(oez) - SZ
+    a = 4.0 * o(oex * oex + oey * oey + oez * oez)
+    c = 4.0 * k(cex * cex + cey * cey + cez * cez)
+    b = 4.0 * (o(oex) * k(cex) + o(oey) * k(cey) + o(oez) * k(cez))
+    d = 2.0 * (o(oex) * WX + o(oey) * WY + o(oez) * WZ)
+    e = 2.0 * (k(cex) * WX + k(cey) * WY + k(cez) * WZ)
+    D = a * c - b * b
+
+    sN = b * e - c * d
+    tN = a * e - b * d
+    sD = jnp.where(D > 0, D, 1.0)
+    tD = sD
+    s_lo = sN < 0.0
+    s_hi = sN > sD
+    tN = jnp.where(s_lo, e, jnp.where(s_hi, e + b, tN))
+    tD = jnp.where(s_lo | s_hi, c, tD)
+    sN = jnp.clip(sN, 0.0, sD)
+    t_lo = tN < 0.0
+    t_hi = tN > tD
+    sN = jnp.where(t_lo, jnp.clip(-d, 0.0, a),
+                   jnp.where(t_hi, jnp.clip(b - d, 0.0, a), sN))
+    sD = jnp.where(t_lo | t_hi, jnp.maximum(a, eps), sD)
+    tN = jnp.clip(tN, 0.0, tD)
+    s = sN / jnp.maximum(sD, eps)
+    t = tN / jnp.maximum(tD, eps)
+
+    # Take the best of FIVE candidates: the generic clamped solution plus
+    # the four endpoint projections, compared on the expanded quadratic
+    # d2(s,t) = w2 + s^2 a + t^2 c + 2sd - 2te - 2stb. Unlike a
+    # near-parallel THRESHOLD switch (geom.distance uses D < 1e-9*ac), a
+    # min over always-feasible candidates is continuous in the inputs: at a
+    # threshold the two branches disagree by O(sin(theta) * L) in distance,
+    # so jit-vs-eager FMA contraction could flip borderline pairs into
+    # contact asymmetrically — observed as a 4e-3 momentum violation in the
+    # filament active-wave test. For near-parallel segments an endpoint
+    # projection attains the true minimum, so min-of-5 is exact in both
+    # regimes.
+    w2 = WX * WX + WY * WY + WZ * WZ
+    inv_a = 1.0 / jnp.maximum(a, eps)
+    inv_c = 1.0 / jnp.maximum(c, eps)
+    zero = jnp.zeros_like(s)
+    one = jnp.ones_like(s)
+    cands = (
+        (zero, jnp.clip(e * inv_c, 0.0, 1.0)),
+        (one, jnp.clip((e + b) * inv_c, 0.0, 1.0)),
+        (jnp.clip(-d * inv_a, 0.0, 1.0), zero),
+        (jnp.clip((b - d) * inv_a, 0.0, 1.0), one),
+    )
+
+    def q(ss, tt):
+        return (w2 + ss * ss * a + tt * tt * c + 2.0 * ss * d
+                - 2.0 * tt * e - 2.0 * ss * tt * b)
+
+    d2_best = q(s, t)
+    for ss, tt in cands:
+        d2c = q(ss, tt)
+        take = d2c < d2_best
+        s = jnp.where(take, ss, s)
+        t = jnp.where(take, tt, t)
+        d2_best = jnp.where(take, d2c, d2_best)
+
+    # closest vector own -> cand: c2 - c1 = -(w + s u - t v)
+    DXc = 2.0 * (t * k(cex) - s * o(oex)) - WX
+    DYc = 2.0 * (t * k(cey) - s * o(oey)) - WY
+    DZc = 2.0 * (t * k(cez) - s * o(oez)) - WZ
+    d2 = DXc * DXc + DYc * DYc + DZc * DZc
+    # Coincident closest points have no defined contact normal: report an
+    # EXACT zero vector there so force laws that blow up as d2 -> 0
+    # (w ~ mag/dist) multiply a true zero. Without this, self-pairs (every
+    # slot vs itself in the center block) rely on D == 0 bitwise — an FMA
+    # contraction under jit can pick a tied candidate with t = b/c =
+    # 1 - 1ulp, making D ~ eps * L and w * D a finite garbage force
+    # (observed: 4e-3 momentum violation in the filament active-wave test).
+    # Threshold: squared machine-eps noise floor of the reconstruction,
+    # scaled by the pair's own length/separation scales.
+    m_eps = jnp.asarray(float(jnp.finfo(ox.dtype).eps), ox.dtype)
+    noise2 = (32.0 * m_eps) ** 2 * (a + c + w2)
+    clean = d2 > noise2
+    DXc = jnp.where(clean, DXc, 0.0)
+    DYc = jnp.where(clean, DYc, 0.0)
+    DZc = jnp.where(clean, DZc, 0.0)
+    d2 = jnp.where(clean, d2, 0.0)
+    args = [s, t, DXc, DYc, DZc, d2]
+    for own_f, cand_f in zip(own_scalars, cand_scalars):
+        args.append(o(own_f))
+        args.append(k(cand_f))
+    outs = out_fn(*args)
+    return tuple(jnp.sum(ov, axis=-1) for ov in outs)
+
+
+def pair_accumulate_segments(
+    state: RowState,
+    box: tuple,
+    half_edges: Array,
+    out_fn: Callable[..., tuple],
+    extra_fields: tuple = (),
+    hbm_budget_bytes: float = 2.5e9,
+) -> tuple:
+    """Gather-free segment-segment narrow phase on component planes — the
+    rods/filaments hot path (reference kernels: mundy_linkers
+    SpherocylinderSegment narrow phase).
+
+    state.pos holds segment MIDPOINTS in the row layout; `half_edges`
+    (ny, nz, R, 3) the half-edge vectors (endpoints = mid -/+ e). For every
+    9-stencil candidate pair the clamped closest points are computed
+    componentwise — scalar planes only, no (..., R, R, 3) temporaries, which
+    is ~300x faster than running the vector segment kernel on 5-D blocks
+    (the minor-axis-3 layout forces relayouts and 1.8x lane padding).
+
+    out_fn(s, t, dx, dy, dz, d2, own_extra..., cand_extra...) receives
+    (ny_chunk, nz, R, 9R) planes: clamped arc parameters in [0, 1], the
+    closest-vector components (own -> cand), its squared norm, and the
+    broadcast scalar extra fields. It returns a tuple of per-pair planes;
+    each is reduced over the candidate axis to (ny, nz, R).
+
+    Contract (sentinel masking, as pair_accumulate_central): outputs must
+    vanish for pairs beyond the grid cutoff (invalid slots separate
+    themselves via build_rows sentinels) and for coincident segments
+    (d2 == 0 — true for anything proportional to the closest vector)."""
+    pos = state.pos
+    ny, nz, R = pos.shape[:3]
+    dtype = pos.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    (lx, ly, lz), (px, py, pz) = box
+    if (py and ny < 5) or (pz and nz < 5):
+        raise ValueError("pair_accumulate_segments needs ny,nz >= 5 on "
+                         "periodic axes; use pair_accumulate_multi")
+
+    ex, ey, ez = half_edges[..., 0], half_edges[..., 1], half_edges[..., 2]
+    fields = (ex, ey, ez) + tuple(extra_fields)
+    cx, cy_, cz, cand_f = _candidate_planes(pos, box, fields)
+    cex, cey, cez = cand_f[:3]
+    cand_scalars = cand_f[3:]
+    ox, oy, oz = pos[..., 0], pos[..., 1], pos[..., 2]
+    lx_px = (lx, 1.0 / lx) if px else None
+
+    # ~28 live (R, 9R) planes in the fused closest-point kernel
+    bytes_per_row = 28 * nz * R * 9 * R * itemsize
+    chunk_y = int(hbm_budget_bytes // max(bytes_per_row, 1))
+    if chunk_y >= ny or chunk_y < 1:
+        return _segment_pair_chunk(ox, oy, oz, ex, ey, ez, extra_fields,
+                                   cx, cy_, cz, cex, cey, cez, cand_scalars,
+                                   out_fn, lx_px)
+
+    n_chunks = -(-ny // chunk_y)
+    ny_pad = n_chunks * chunk_y
+
+    def pad(arr):
+        cfg = [(0, ny_pad - ny)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, cfg)
+
+    own_planes = [pad(p) for p in (ox, oy, oz, ex, ey, ez)]
+    own_sc = tuple(pad(f) for f in extra_fields)
+    cand_planes = [pad(p) for p in (cx, cy_, cz, cex, cey, cez)]
+    cand_sc = tuple(pad(f) for f in cand_scalars)
+
+    def chunk(ci):
+        y0 = ci * chunk_y
+        sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, y0, chunk_y, 0)  # noqa: E731
+        oxc, oyc, ozc, exc, eyc, ezc = (sl(p) for p in own_planes)
+        cxc, cyc, czc, cexc, ceyc, cezc = (sl(p) for p in cand_planes)
+        return _segment_pair_chunk(oxc, oyc, ozc, exc, eyc, ezc,
+                                   tuple(sl(f) for f in own_sc),
+                                   cxc, cyc, czc, cexc, ceyc, cezc,
+                                   tuple(sl(f) for f in cand_sc),
+                                   out_fn, lx_px)
+
+    outs = jax.lax.map(chunk, jnp.arange(n_chunks, dtype=jnp.int32))
+    return tuple(ov.reshape((ny_pad, nz, R) + ov.shape[4:])[:ny]
+                 for ov in outs)
 
 
 def neighbor_matrix_rows(

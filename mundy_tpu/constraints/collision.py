@@ -84,6 +84,49 @@ def remap_gamma(old_pairs: PairList, old_gamma: Array, new_pairs: PairList,
     return out
 
 
+def active_pair_subset(setup: CollisionSetup, margin, capacity: int,
+                       n_bodies: int):
+    """Per-step active-set compaction: the near-contact subset
+    (sep0 < margin) of a full skin-buffered constraint list.
+
+    The skin-buffered pair list holds every pair within
+    2r + buffer (+ skin drift), but complementarity pins gamma = 0 on any
+    pair whose final separation stays positive — with margin safely above
+    the per-step displacement scale, pairs beyond it provably carry zero
+    multipliers, so the BBPGD iterations (whose gathers scale with slot
+    count) need never see them. This is the reference's own semantics: it
+    generates constraints only from the current-step search
+    (`StkNgpLCP.cpp:468-510`), paying a per-step BVH instead of a skin.
+
+    The compaction is gather-only (sorted-prefix-sum + batched binary
+    search; no scatter): cumsum over the active mask, then slot k of the
+    output = searchsorted(cum, k+1). Order (i-sorted) is preserved, so the
+    blocked segment machinery applies directly.
+
+    Returns (setup_act (windows=None), sel, n_act, overflow): `sel`
+    (capacity,) int32 maps active slot -> full-list slot, padded past
+    n_act with C (the full capacity — never a real slot when the full
+    list itself has headroom); overflow = n_act > capacity.
+    """
+    pairs = setup.pairs
+    c_full = pairs.i.shape[0]
+    act = pairs.mask & (setup.sep0 < margin)
+    cum = jnp.cumsum(act.astype(jnp.int32))
+    n_act = cum[c_full - 1]
+    k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    sel = jnp.searchsorted(cum, k).astype(jnp.int32)
+    valid = k <= n_act
+    sel_c = jnp.minimum(sel, c_full - 1)
+    ai = jnp.where(valid, pairs.i[sel_c], n_bodies)
+    aj = jnp.where(valid, pairs.j[sel_c], n_bodies)
+    an = jnp.where(valid[:, None], setup.normals[sel_c], 0.0)
+    as0 = jnp.where(valid, setup.sep0[sel_c], 1.0)
+    apairs = PairList(i=ai, j=aj, mask=valid, num_pairs=n_act,
+                      overflow=n_act > capacity)
+    return (CollisionSetup(pairs=apairs, normals=an, sep0=as0),
+            jnp.where(valid, sel, c_full), n_act, n_act > capacity)
+
+
 def pair_j_permutation(pairs: PairList, n_bodies: int) -> Array:
     """Rebuild-time permutation sorting pairs by j (padded slots last)."""
     key = jnp.where(pairs.mask, pairs.j, n_bodies)

@@ -26,7 +26,8 @@ from mundy_tpu.constraints import (
     remap_gamma,
     resolve_collisions,
 )
-from mundy_tpu.ops.segments import SegmentWindows, segment_windows
+from mundy_tpu.constraints.collision import active_pair_subset
+from mundy_tpu.ops.segments import segment_windows
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity, euler_step
 from mundy_tpu.geom import periodic
@@ -48,6 +49,15 @@ from mundy_tpu.neighbor import (
 )
 
 
+def _pow2(n: int) -> int:
+    """Next power of two >= n (>= 1024): the active-set capacity grid —
+    bounds the number of distinct compiled programs as the set size drifts."""
+    p = 1024
+    while p < n:
+        p *= 2
+    return p
+
+
 @dataclasses.dataclass
 class LCPSpheresConfig:
     num_spheres: int = 10_000
@@ -64,6 +74,12 @@ class LCPSpheresConfig:
     # constraint generation margin: pairs within 2r + buffer become
     # constraints (reference uses search boxes of the sphere AABBs)
     constraint_buffer: float = 0.2
+    # active-set margin: each step the BBPGD solve runs only on pairs with
+    # sep0 < active_margin (complementarity pins gamma = 0 beyond it as
+    # long as the margin exceeds the per-step displacement scale; the
+    # reference likewise builds constraints from a per-step search,
+    # StkNgpLCP.cpp:468). None -> 0.5 * constraint_buffer.
+    active_margin: Optional[float] = None
     max_allowable_overlap: float = 1e-5  # StkNgpLCP main param
     max_col_iterations: int = 10_000
     # "rpy_ring" = dense all-pairs RPY sharded over the device mesh by
@@ -93,7 +109,9 @@ class LCPSpheresConfig:
 @pytree_dataclass
 class LCPSpheresState:
     pos: Array
-    gamma: Array  # (C,) warm-start lagrange multipliers
+    gamma: Array  # (A,) active-set warm-start multipliers
+    gamma_sel: Array  # (A,) int32 full-list slot per active pair (C = pad)
+    gamma_full: Array  # (C,) rebuild-time snapshot for set-entry warm starts
     key: Array
     step: Array
     nmat: object  # NeighborMatrix (skin-buffered)
@@ -104,6 +122,7 @@ class LCPSpheresState:
     rebuild_count: Array
     lcp_iters: Array  # () int32 — last solve iterations
     lcp_residual: Array
+    act_count: Array  # () int32 — last step's active-pair count
     overflow: Array
 
 
@@ -131,6 +150,12 @@ class LCPSpheresSim:
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
         self.seg_block = 1024  # bodies per assembly block
         self.seg_window = max(2048, 8 * self.seg_block)
+        self.active_margin = (c.active_margin if c.active_margin is not None
+                              else 0.5 * c.constraint_buffer)
+        # active-set capacities: right-sized at init(), adapted between
+        # run blocks (power-of-two grid bounds the distinct compilations)
+        self.act_capacity = 1024
+        self.act_window = 512
         # rows-broad-phase caps, grown by regrow() on overflow
         self.rows_k = 12
         self.rows_slack = 1.9
@@ -261,9 +286,26 @@ class LCPSpheresSim:
         if w_tight != self.seg_window:
             self.seg_window = w_tight
             nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
+        # Size the active set from the measured near-contact count (a cold
+        # random start is the high-water mark: most close pairs overlap).
+        radius = (self.radii if self.radii is not None
+                  else jnp.asarray(c.radius, self.dtype))
+        setup0 = collision_setup_spheres(pos, radius, pairs,
+                                         metric=self.metric)
+        act = pairs.mask & (setup0.sep0 < self.active_margin)
+        n_act = int(jax.device_get(jnp.sum(act)))
+        self.act_capacity = _pow2(int(n_act * 1.4) + 1024)
+        act_i = np.asarray(jax.device_get(jnp.where(act, pairs.i,
+                                                    c.num_spheres)))
+        blk = np.bincount(act_i[act_i < c.num_spheres] // self.seg_block,
+                          minlength=1)
+        self.act_window = max(512, (int(blk.max() * 1.5) + 255) // 256 * 256)
         return LCPSpheresState(
             pos=pos,
-            gamma=jnp.zeros((self.pair_capacity,), self.dtype),
+            gamma=jnp.zeros((self.act_capacity,), self.dtype),
+            gamma_sel=jnp.full((self.act_capacity,), self.pair_capacity,
+                               jnp.int32),
+            gamma_full=jnp.zeros((self.pair_capacity,), self.dtype),
             key=kstate,
             step=jnp.asarray(0, jnp.int32),
             nmat=nmat, pairs=pairs, hydro_nmat=hmat,
@@ -272,6 +314,7 @@ class LCPSpheresSim:
             rebuild_count=jnp.asarray(1, jnp.int32),
             lcp_iters=jnp.asarray(0, jnp.int32),
             lcp_residual=jnp.asarray(0.0, self.dtype),
+            act_count=jnp.asarray(n_act, jnp.int32),
             overflow=ovf,
         )
 
@@ -279,11 +322,22 @@ class LCPSpheresSim:
         nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(state.pos)
         # warm-start multipliers survive the rebuild BY PAIR IDENTITY: the
         # re-sorted list scrambles slots exactly when the solve is most
-        # expensive (weak #5); probes bounds the per-body pair run
-        gamma = remap_gamma(state.pairs, state.gamma, pairs,
-                            probes=self._pair_run_bound())
+        # expensive (weak #5). Scatter the active multipliers onto the old
+        # full list (rebuilds are rare — the per-step path never scatters),
+        # remap into the new list, and invalidate the active slot map so
+        # the next step warm-starts from the remapped snapshot.
+        gfull_old = jnp.zeros((self.pair_capacity,), self.dtype)
+        gfull_old = gfull_old.at[state.gamma_sel].set(
+            jnp.where(state.gamma_sel < self.pair_capacity, state.gamma, 0.0),
+            mode="drop")
+        gamma_full = remap_gamma(state.pairs, gfull_old, pairs,
+                                 probes=self._pair_run_bound())
         return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
-                             seg_starts=seg_starts, gamma=gamma,
+                             seg_starts=seg_starts,
+                             gamma=jnp.zeros_like(state.gamma),
+                             gamma_sel=jnp.full_like(state.gamma_sel,
+                                                     self.pair_capacity),
+                             gamma_full=gamma_full,
                              ref_pos=state.pos,
                              rebuild_count=state.rebuild_count + 1,
                              overflow=state.overflow | ovf)
@@ -338,30 +392,47 @@ class LCPSpheresSim:
         c = self.config
         pos = state.pos
         pairs = state.pairs
-        nmat = state.nmat
         overflow = state.overflow
 
-        # ordered-pair assembly: one blocked segmented reduction per
-        # D-apply (ops/segments.py; 6x over the scatter-add path at 1M)
-        windows = SegmentWindows(starts=state.seg_starts,
-                                 block_bodies=self.seg_block,
-                                 window=self.seg_window,
-                                 overflow=jnp.asarray(False))
         radius = (self.radii if self.radii is not None
                   else jnp.asarray(c.radius, self.dtype))
-        setup = collision_setup_spheres(pos, radius,
-                                        pairs, metric=self.metric,
-                                        windows=windows)
+        setup_full = collision_setup_spheres(pos, radius, pairs,
+                                             metric=self.metric)
+        # Active-set compaction: the solve's per-iteration gathers scale
+        # with slot count, and beyond the margin complementarity pins
+        # gamma = 0, so only near-contact pairs enter the iterations.
+        setup, sel, n_act, act_ovf = active_pair_subset(
+            setup_full, jnp.asarray(self.active_margin, self.dtype),
+            self.act_capacity, c.num_spheres)
+        # ordered-pair assembly on the active list: one blocked segmented
+        # reduction per D-apply (ops/segments.py; 6x over scatter at 1M)
+        windows = segment_windows(setup.pairs.i, c.num_spheres,
+                                  self.seg_block, self.act_window)
+        setup = setup._replace(windows=windows)
+        overflow = overflow | act_ovf | windows.overflow
+
         mobility, hydro_ovf = self._mobility(pos, state.hydro_nmat)
         overflow = overflow | hydro_ovf
 
-        # warm start from previous multipliers (same slot layout only if the
-        # pair list is stable; stale slots are safe — just a warm guess)
+        # Warm start: pairs persisting in the active set match their slot
+        # in last step's selection (both slot maps are sorted — one binary
+        # search + one equality probe); pairs entering the set fall back to
+        # the rebuild-time full-list snapshot (~their last known value;
+        # fresh pairs were ~0 there, which is also the right guess).
+        a_cap = self.act_capacity
+        ppos = jnp.minimum(
+            jnp.searchsorted(state.gamma_sel, sel).astype(jnp.int32),
+            a_cap - 1)
+        hit = (state.gamma_sel[ppos] == sel) & setup.pairs.mask
+        g_snap = state.gamma_full[jnp.minimum(sel, self.pair_capacity - 1)]
+        gamma0 = jnp.where(hit, state.gamma[ppos],
+                           jnp.where(setup.pairs.mask, g_snap, 0.0))
+
         gamma, vel, res = resolve_collisions(
             setup, mobility, c.num_spheres, c.dt,
             max_allowable_overlap=c.max_allowable_overlap,
             max_iterations=c.max_col_iterations,
-            gamma0=state.gamma,
+            gamma0=gamma0,
         )
 
         if c.diffusion_coeff > 0:
@@ -371,9 +442,9 @@ class LCPSpheresSim:
 
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
         return state.replace(
-            pos=new_pos, gamma=gamma, step=state.step + 1,
+            pos=new_pos, gamma=gamma, gamma_sel=sel, step=state.step + 1,
             lcp_iters=res.num_iters, lcp_residual=res.residual,
-            overflow=overflow,
+            act_count=n_act, overflow=overflow,
         )
 
     def _step(self, state: LCPSpheresState) -> LCPSpheresState:
@@ -422,7 +493,33 @@ class LCPSpheresSim:
         # so the spectral path runs the fused loop like everything else)
         if not hasattr(self, "_run_jit"):
             self._run_jit = jax.jit(self._run_n)
-        return self._run_jit(state, jnp.asarray(n_steps, jnp.int32))
+        state = self._run_jit(state, jnp.asarray(n_steps, jnp.int32))
+        return self._resize_active(state)
+
+    def _resize_active(self, state: LCPSpheresState) -> LCPSpheresState:
+        """Between blocks: re-fit the active-set capacity to the measured
+        count (a relaxing cold start shrinks it ~5x; every BBPGD iteration's
+        gathers scale with the capacity, so slack is paid per iteration).
+        Runs AFTER a block and eagerly compiles the resized program so the
+        next block's timing never contains the recompile."""
+        n_act = int(jax.device_get(state.act_count))
+        target = _pow2(int(n_act * 1.4) + 1024)
+        if target == self.act_capacity:
+            return state
+        m = min(self.act_capacity, target)
+        # active slots are front-packed ([0, n_act) valid), so a prefix
+        # copy preserves every live multiplier when m >= n_act
+        gamma = jnp.zeros((target,), self.dtype).at[:m].set(state.gamma[:m])
+        sel = jnp.full((target,), self.pair_capacity,
+                       jnp.int32).at[:m].set(state.gamma_sel[:m])
+        self.act_capacity = target
+        self.__dict__.pop("_run_jit", None)
+        self._step_jit = jax.jit(self._step)
+        state = state.replace(gamma=gamma, gamma_sel=sel)
+        self._run_jit = jax.jit(self._run_n)
+        # 0-step call: populates the jit cache for the new shapes now
+        state = self._run_jit(state, jnp.asarray(0, jnp.int32))
+        return state
 
     def regrow(self, state: LCPSpheresState) -> LCPSpheresState:
         """Grow every overflow-bounded capacity of the constraint pipeline
@@ -432,8 +529,11 @@ class LCPSpheresSim:
 
         c = self.config
         probes = self._pair_run_bound()
+        old_pair_capacity = self.pair_capacity
         self.pair_capacity = grow_int(self.pair_capacity, align=1024)
         self.seg_window = grow_int(self.seg_window, align=512)
+        self.act_capacity = _pow2(2 * self.act_capacity)
+        self.act_window = grow_int(self.act_window, align=256)
         self.rows_k = grow_int(self.rows_k, align=4)
         self.rows_slack *= 1.5
         c.max_neighbors = grow_int(c.max_neighbors)
@@ -442,10 +542,19 @@ class LCPSpheresSim:
         self.__dict__.pop("_step_jit", None)
         self._step_jit = jax.jit(self._step)
         nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(state.pos)
-        gamma = remap_gamma(state.pairs, state.gamma, pairs, probes=probes)
-        return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
-                             seg_starts=seg_starts, gamma=gamma,
-                             ref_pos=state.pos, overflow=ovf)
+        gfull_old = jnp.zeros((old_pair_capacity,), self.dtype)
+        gfull_old = gfull_old.at[state.gamma_sel].set(
+            jnp.where(state.gamma_sel < old_pair_capacity, state.gamma, 0.0),
+            mode="drop")
+        gamma_full = remap_gamma(state.pairs, gfull_old, pairs, probes=probes)
+        return state.replace(
+            nmat=nmat, pairs=pairs, hydro_nmat=hmat,
+            seg_starts=seg_starts,
+            gamma=jnp.zeros((self.act_capacity,), self.dtype),
+            gamma_sel=jnp.full((self.act_capacity,), self.pair_capacity,
+                               jnp.int32),
+            gamma_full=gamma_full,
+            ref_pos=state.pos, overflow=ovf)
 
     def run(self, state: Optional[LCPSpheresState] = None, log=print):
         from mundy_tpu.driver.regrow import run_blocks

@@ -26,9 +26,11 @@ from mundy_tpu.dynamics import brownian_velocity, brownian_angular_velocity
 from mundy_tpu.dynamics.integrators import euler_step_rigid
 from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
 from mundy_tpu.geom import periodic
-from mundy_tpu.geom.distance import segment_segment_closest
+from mundy_tpu.geom.distance import (segment_closest_planes,
+                                     segment_segment_closest)
 from mundy_tpu.math.quaternion import quat_rotate
 from mundy_tpu.neighbor import build_cell_list, make_cell_grid, neighbor_matrix
+from mundy_tpu.neighbor.rows import orthorhombic_lengths
 
 
 @dataclasses.dataclass
@@ -96,6 +98,26 @@ class RodsSim:
 
     def _build_nmat(self, pos: Array):
         c = self.config
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        if n_cells >= 5:
+            # gather-free row-layout broad phase (one sort + dense argmin
+            # extraction) — the cell-list builder's candidate tables pay
+            # ~4.3 ns/row computed-index gathers and dominate the rebuild.
+            # Gated on extraction work: each of the K passes scans 9*R
+            # candidates per body, so fat-cutoff/sparse regimes (rods:
+            # R~200, K=32 -> 3.2 s/rebuild measured) must stay on the
+            # cell-list builder; contact-scale regimes (R~88, K<=16) win 3x.
+            from mundy_tpu.neighbor.rows import (make_row_grid,
+                                                 neighbor_matrix_rows)
+
+            rg = make_row_grid([0, 0, 0], (c.box_size,) * 3,
+                               2 * float(self.search_radius), c.num_rods,
+                               capacity_slack=1.9, dtype=self.dtype, align=8)
+            if c.max_neighbors * rg.row_capacity <= 2048:
+                nmat = neighbor_matrix_rows(
+                    pos, float(self.search_radius), (c.box_size,) * 3,
+                    max_neighbors=c.max_neighbors, grid=rg)
+                return nmat, nmat.overflow
         clist = build_cell_list(pos, self.grid, c.cell_capacity)
         nmat = neighbor_matrix(
             pos, clist, jnp.asarray(self.search_radius, self.dtype),
@@ -113,39 +135,64 @@ class RodsSim:
         c = self.config
         n = c.num_rods
         axis = self._axes(quat)  # (N, 3)
-        half = 0.5 * c.length
+        half = float(0.5 * c.length)
         idx = jnp.minimum(nmat.idx, n - 1)
 
-        # own segment endpoints (N, 3); neighbor endpoints gathered and
-        # shifted to the minimum image relative to our center
-        pj = pos[idx]
-        shift = self.metric.sep(pos[:, None, :], pj) - (pj - pos[:, None, :])
-        pj = pj + shift
-        aj = axis[idx]
+        # ONE packed payload gather per pair (midpoint + half-edge in one
+        # row): computed-index gathers cost ~4.3 ns/ROW regardless of width,
+        # so separate pos[idx] / axis[idx] gathers double the dominant cost
+        hedge = half * axis
+        payload = jnp.concatenate([pos, hedge], axis=1)  # (N, 6)
+        cand = payload[idx]  # (N, K, 6) — the one gather
 
-        a0 = (pos - half * axis)[:, None, :]
-        a1 = (pos + half * axis)[:, None, :]
-        b0 = pj - half * aj
-        b1 = pj + half * aj
-        _s, _t, c1, c2 = segment_segment_closest(
-            jnp.broadcast_to(a0, b0.shape), jnp.broadcast_to(a1, b0.shape), b0, b1
-        )
-        sepv = c2 - c1
-        r2 = jnp.maximum(jnp.sum(sepv * sepv, axis=-1), 1e-24)
-        rinv = jax.lax.rsqrt(r2)
-        d = r2 * rinv
-        signed = d - 2.0 * c.radius
+        # component planes transposed to (6, K, N): the lane (minor) axis is
+        # N, so every per-pair plane tiles the VPU fully — the (N, K, 3)
+        # vector layout pads K=32 lanes to 128 (4x) and relayouts per op
+        candT = jnp.transpose(cand, (2, 1, 0))
+        ownT = payload.T  # (6, N)
+        SX = candT[0] - ownT[0][None, :]
+        SY = candT[1] - ownT[1][None, :]
+        SZ = candT[2] - ownT[2][None, :]
+        box = orthorhombic_lengths(self.metric)
+        if box is not None:
+            (lx, ly, lz), (px, py, pz) = box
+            if px:
+                SX = SX - lx * jnp.round(SX * (1.0 / lx))
+            if py:
+                SY = SY - ly * jnp.round(SY * (1.0 / ly))
+            if pz:
+                SZ = SZ - lz * jnp.round(SZ * (1.0 / lz))
+        else:
+            sep = self.metric.sep(pos[:, None, :], pos[idx])
+            SX, SY, SZ = (jnp.transpose(sep, (2, 1, 0))[i] for i in range(3))
+        s, _t, DX, DY, DZ, d2 = segment_closest_planes(
+            SX, SY, SZ,
+            ownT[3][None, :], ownT[4][None, :], ownT[5][None, :],
+            candT[3], candT[4], candT[5])
+
+        d2c = jnp.maximum(d2, 1e-24)
+        rinv = jax.lax.rsqrt(d2c)
+        dist = d2c * rinv
         e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
                                  c.poissons_ratio, c.poissons_ratio)
-        mag = hertzian_pair_force(signed, jnp.asarray(0.5 * c.radius, self.dtype),
-                                  jnp.asarray(e_eff, self.dtype))
-        mag = jnp.where(nmat.mask, mag, 0.0)
-        fvec = -(mag * rinv)[..., None] * sepv  # force on this rod per pair
-        force = jnp.sum(fvec, axis=1)
-        # torque: contact point on OUR surface is c1 + r * nhat
-        contact = c1 + (c.radius * rinv)[..., None] * sepv
-        arm = contact - pos[:, None, :]
-        torque = jnp.sum(jnp.cross(arm, fvec), axis=1)
+        mag = hertzian_pair_force(dist - 2.0 * c.radius,
+                                  float(0.5 * c.radius), float(e_eff))
+        maskT = nmat.mask.T  # (K, N)
+        w = jnp.where(maskT, -(mag * rinv), 0.0)
+        fx, fy, fz = w * DX, w * DY, w * DZ
+        # torque: contact point on OUR surface = own closest point
+        # (2s - 1) * half_edge plus radius * d_hat
+        u2 = 2.0 * s - 1.0
+        rr = c.radius * rinv
+        px_ = u2 * ownT[3][None, :] + rr * DX
+        py_ = u2 * ownT[4][None, :] + rr * DY
+        pz_ = u2 * ownT[5][None, :] + rr * DZ
+        force = jnp.stack([jnp.sum(fx, axis=0), jnp.sum(fy, axis=0),
+                           jnp.sum(fz, axis=0)], axis=-1)
+        torque = jnp.stack([
+            jnp.sum(py_ * fz - pz_ * fy, axis=0),
+            jnp.sum(pz_ * fx - px_ * fz, axis=0),
+            jnp.sum(px_ * fy - py_ * fx, axis=0)], axis=-1)
         return force, torque
 
     def _inner_step(self, state: RodsState) -> RodsState:

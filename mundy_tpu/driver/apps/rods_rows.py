@@ -65,9 +65,12 @@ class RowRodsSim:
         # pair cutoff between centers = 2 * bounding radius + skin
         self.cutoff = c.length + 2 * c.radius + c.skin
         self.capacity_slack = capacity_slack
+        # align=8: lets the Pallas half-stencil kernel take the hot path
+        # (its z-chunk offsets must be provably sublane-aligned); small
+        # boxes keep their exact cell count and fall back to XLA
         self.grid = make_row_grid([0, 0, 0], box, self.cutoff, c.num_rods,
                                   capacity_slack=capacity_slack,
-                                  dtype=self.dtype, align=1)
+                                  dtype=self.dtype, align=8)
         if self.grid.ny < 5 or self.grid.nz < 5:
             raise ValueError("box too small for the row engine "
                              "(need >= 5 cells per periodic axis)")
@@ -129,11 +132,14 @@ class RowRodsSim:
         from the surface contact point (matches
         RodsSim._contact_forces_torques arithmetic exactly)."""
         c = self.config
-        half = jnp.asarray(0.5 * c.length, self.dtype)
-        two_r = jnp.asarray(2.0 * c.radius, self.dtype)
-        r_eff = jnp.asarray(0.5 * c.radius, self.dtype)
-        e_eff = jnp.asarray(self.e_eff, self.dtype)
-        radius = jnp.asarray(c.radius, self.dtype)
+        # python-float closure constants (NOT jnp scalars): the Pallas
+        # kernel rejects captured traced values; weak typing keeps the XLA
+        # path's dtype unchanged
+        half = float(0.5 * c.length)
+        two_r = float(2.0 * c.radius)
+        r_eff = float(0.5 * c.radius)
+        e_eff = float(self.e_eff)
+        radius = float(c.radius)
         zhat = jnp.zeros((3,), self.dtype).at[2].set(1.0)
         axes = quat_rotate(quat, zhat)  # (ny, nz, R, 3)
         hedges = half * jnp.where(rows.valid[..., None], axes, 0.0)
@@ -158,11 +164,51 @@ class RowRodsSim:
                     pz * fx - px * fz,
                     px * fy - py * fx)
 
-        fx, fy, fz, tx, ty, tz = pair_accumulate_segments(
-            rows, self.box_static, hedges, out_fn,
-            extra_fields=(hx, hy, hz))
+        def partner_fn(s, t, dx, dy, dz, d2, _oex, cex, _oey, cey,
+                       _oez, cez):
+            d2c = jnp.maximum(d2, 1e-24)
+            rinv = jax.lax.rsqrt(d2c)
+            dist = d2c * rinv
+            mag = hertzian_pair_force(dist - two_r, r_eff, e_eff)
+            w = -(mag * rinv)
+            fx, fy, fz = w * dx, w * dy, w * dz
+            # partner force = -f; partner arm = its own closest point
+            # (2t - 1) * cand_half_edge minus radius * d_hat (d points
+            # own -> cand, so the contact direction seen by the partner
+            # is -d_hat)
+            gx, gy, gz = -fx, -fy, -fz
+            v2 = 2.0 * t - 1.0
+            rr = radius * rinv
+            px = v2 * cex - rr * dx
+            py = v2 * cey - rr * dy
+            pz = v2 * cez - rr * dz
+            return (gx, gy, gz,
+                    py * gz - pz * gy,
+                    pz * gx - px * gz,
+                    px * gy - py * gx)
+
+        if self._pallas_ok(rows):
+            from mundy_tpu.ops.pallas.row_segments import row_segment_pairs_sym
+
+            fx, fy, fz, tx, ty, tz = row_segment_pairs_sym(
+                rows.pos, hedges, self.box_static[0], out_fn, partner_fn, 6)
+        else:
+            fx, fy, fz, tx, ty, tz = pair_accumulate_segments(
+                rows, self.box_static, hedges, out_fn,
+                extra_fields=(hx, hy, hz))
         return (jnp.stack([fx, fy, fz], axis=-1),
                 jnp.stack([tx, ty, tz], axis=-1))
+
+    def _pallas_ok(self, rows: RowState) -> bool:
+        from mundy_tpu.ops.pallas.row_segments import segment_vmem_bytes
+
+        ny, nz, R = rows.pos.shape[:3]
+        return (jax.default_backend() == "tpu"
+                and self.dtype == jnp.float32
+                and self.box_static is not None
+                and all(self.box_static[1])
+                and ny >= 5 and nz >= 5 and nz % 8 == 0
+                and segment_vmem_bytes(nz, R, 0, 6) <= 13e6)
 
     def _inner_step(self, state: RowRodsState) -> RowRodsState:
         c = self.config

@@ -606,3 +606,91 @@ def distance_circle3d_circle3d(c1: Circle3D, c2: Circle3D,
     q = project_to_rim(p, c2)
     sep = q - p
     return SepResult(norm(sep), p, q, _safe_normal(sep))
+
+
+def segment_closest_planes(SX, SY, SZ, oex, oey, oez, cex, cey, cez,
+                           eps=None):
+    """Clamped segment-segment closest points on COMPONENT PLANES — the
+    TPU-native layout for batched narrow phases (no (..., 3) minor axis, so
+    arbitrary plane shapes tile the VPU's (8, 128) registers directly).
+
+    Inputs are broadcast-compatible planes: S = (cand midpoint - own
+    midpoint, minimum image already applied), own half-edges oe*, candidate
+    half-edges ce* (endpoints = mid -/+ e). Same arithmetic as
+    neighbor/rows._segment_pair_chunk and ops/pallas/row_segments._pair_block
+    (edge-clamped Lumelsky with a continuous min-of-5-candidates selection
+    instead of the near-parallel threshold switch; reference algorithm
+    distance/LineSegmentLineSegment.hpp:51-200).
+
+    Returns (s, t, DX, DY, DZ, d2): clamped arc parameters in [0, 1], the
+    closest vector own -> cand (EXACT zero below the reconstruction noise
+    floor, so 1/dist force laws see a true zero for coincident segments),
+    and its squared norm.
+    """
+    dt = jnp.result_type(SX, oex)
+    if eps is None:
+        eps = jnp.asarray(1e-12 if dt == jnp.float64 else 1e-8, dt)
+    WX = cex - oex - SX
+    WY = cey - oey - SY
+    WZ = cez - oez - SZ
+    a = 4.0 * (oex * oex + oey * oey + oez * oez)
+    c = 4.0 * (cex * cex + cey * cey + cez * cez)
+    b = 4.0 * (oex * cex + oey * cey + oez * cez)
+    d = 2.0 * (oex * WX + oey * WY + oez * WZ)
+    e = 2.0 * (cex * WX + cey * WY + cez * WZ)
+    D = a * c - b * b
+
+    sN = b * e - c * d
+    tN = a * e - b * d
+    sD = jnp.where(D > 0, D, 1.0)
+    tD = sD
+    s_lo = sN < 0.0
+    s_hi = sN > sD
+    tN = jnp.where(s_lo, e, jnp.where(s_hi, e + b, tN))
+    tD = jnp.where(s_lo | s_hi, c, tD)
+    sN = jnp.clip(sN, 0.0, sD)
+    t_lo = tN < 0.0
+    t_hi = tN > tD
+    sN = jnp.where(t_lo, jnp.clip(-d, 0.0, a),
+                   jnp.where(t_hi, jnp.clip(b - d, 0.0, a), sN))
+    sD = jnp.where(t_lo | t_hi, jnp.maximum(a, eps), sD)
+    tN = jnp.clip(tN, 0.0, tD)
+    s = sN / jnp.maximum(sD, eps)
+    t = tN / jnp.maximum(tD, eps)
+
+    w2 = WX * WX + WY * WY + WZ * WZ
+    inv_a = 1.0 / jnp.maximum(a, eps)
+    inv_c = 1.0 / jnp.maximum(c, eps)
+    zero = jnp.zeros_like(s)
+    one = jnp.ones_like(s)
+    cands = (
+        (zero, jnp.clip(e * inv_c, 0.0, 1.0)),
+        (one, jnp.clip((e + b) * inv_c, 0.0, 1.0)),
+        (jnp.clip(-d * inv_a, 0.0, 1.0), zero),
+        (jnp.clip((b - d) * inv_a, 0.0, 1.0), one),
+    )
+
+    def q(ss, tt):
+        return (w2 + ss * ss * a + tt * tt * c + 2.0 * ss * d
+                - 2.0 * tt * e - 2.0 * ss * tt * b)
+
+    d2_best = q(s, t)
+    for ss, tt in cands:
+        d2c = q(ss, tt)
+        take = d2c < d2_best
+        s = jnp.where(take, ss, s)
+        t = jnp.where(take, tt, t)
+        d2_best = jnp.where(take, d2c, d2_best)
+
+    DX = 2.0 * (t * cex - s * oex) - WX
+    DY = 2.0 * (t * cey - s * oey) - WY
+    DZ = 2.0 * (t * cez - s * oez) - WZ
+    d2 = DX * DX + DY * DY + DZ * DZ
+    m_eps = jnp.asarray(float(jnp.finfo(dt).eps), dt)
+    noise2 = (32.0 * m_eps) ** 2 * (a + c + w2)
+    clean = d2 > noise2
+    DX = jnp.where(clean, DX, 0.0)
+    DY = jnp.where(clean, DY, 0.0)
+    DZ = jnp.where(clean, DZ, 0.0)
+    d2 = jnp.where(clean, d2, 0.0)
+    return s, t, DX, DY, DZ, d2

@@ -206,6 +206,7 @@ def resolve_collisions(
     max_iterations: int = 10_000,
     gamma0: Optional[Array] = None,
     axis_names=None,
+    u_ext: Optional[Array] = None,
 ) -> tuple[Array, Array, SolveResult]:
     """Solve for contact impulses gamma; returns (gamma, velocities, result).
 
@@ -213,6 +214,16 @@ def resolve_collisions(
     neighbors, dense RPY, periphery-corrected...). Defaults mirror the
     reference driver: tol 1e-5 overlap, 10k iteration cap, alternating BB
     steps, warm start from `gamma0` (`StkNgpLCP.cpp` main params, `:705-875`).
+
+    `u_ext` (n_bodies, 3): KNOWN velocities the step will apply alongside
+    the constraint response (Brownian drift, background flow, external
+    forces through the mobility). They enter the LCP's constant term
+    q = sep0 + dt * D^T u_ext, so the solve enforces non-penetration of the
+    ACTUAL end-of-step configuration. Omitting a nonzero drift here lets it
+    re-penetrate pairs after every solve — overlap then stalls at the
+    per-step drift scale instead of max_allowable_overlap. The returned
+    velocity does NOT include u_ext (it is the constraint response M D
+    gamma only; the caller adds its drift exactly once).
     """
     dt = jnp.asarray(dt, setup.sep0.dtype)
 
@@ -221,6 +232,9 @@ def resolve_collisions(
         u = mobility_apply(f)
         return dt * _sep_rate(setup, u)
 
+    q = setup.sep0
+    if u_ext is not None:
+        q = q + dt * _sep_rate(setup, u_ext)
     cfg = PGDConfig(
         max_iters=max_iterations,
         tol=max_allowable_overlap,
@@ -228,7 +242,7 @@ def resolve_collisions(
         residual="projected_gradient",
         axis_names=axis_names,
     )
-    res = solve_lcp(apply_A, setup.sep0, x0=gamma0, config=cfg, mask=setup.pairs.mask)
+    res = solve_lcp(apply_A, q, x0=gamma0, config=cfg, mask=setup.pairs.mask)
     gamma = res.x
     vel = mobility_apply(collision_forces(setup, gamma, n_bodies))
     return gamma, vel, res

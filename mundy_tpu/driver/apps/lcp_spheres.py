@@ -292,7 +292,7 @@ class LCPSpheresSim:
                   else jnp.asarray(c.radius, self.dtype))
         setup0 = collision_setup_spheres(pos, radius, pairs,
                                          metric=self.metric)
-        act = pairs.mask & (setup0.sep0 < self.active_margin)
+        act = pairs.mask & (setup0.sep0 < self._dyn_margin(setup0))
         n_act = int(jax.device_get(jnp.sum(act)))
         self.act_capacity = _pow2(int(n_act * 1.4) + 1024)
         act_i = np.asarray(jax.device_get(jnp.where(act, pairs.i,
@@ -383,6 +383,22 @@ class LCPSpheresSim:
             overlap_correction=True,
         )), no_ovf
 
+    def _dyn_margin(self, setup) -> Array:
+        """Active-set margin = static margin + deepest current overlap.
+
+        Per-step displacements scale with the deepest overlap being
+        resolved (a 0.9-deep cold-start contact pushes both bodies ~0.45
+        in one constrained step), so a STATIC margin truncates pairs that
+        the exact solve would activate — observed as a 2e-2 trajectory
+        deviation vs the full-list solve over a 30-step cold relax. Adding
+        the deepest overlap makes the cold start activate (nearly) the
+        whole buffered list (exact) while steady state pays only the
+        near-contact set."""
+        sep0 = jnp.where(setup.pairs.mask, setup.sep0,
+                         jnp.asarray(jnp.inf, self.dtype))
+        deepest = jnp.maximum(-jnp.min(sep0), 0.0)
+        return jnp.asarray(self.active_margin, self.dtype) + deepest
+
     def _inner_step(self, state: LCPSpheresState) -> LCPSpheresState:
         """Constraint assembly + BBPGD + Euler against the skin-buffered pair
         list (separations/normals recomputed from current positions each
@@ -400,9 +416,14 @@ class LCPSpheresSim:
                                              metric=self.metric)
         # Active-set compaction: the solve's per-iteration gathers scale
         # with slot count, and beyond the margin complementarity pins
-        # gamma = 0, so only near-contact pairs enter the iterations.
+        # gamma = 0, so only near-contact pairs enter the iterations. The
+        # margin is DYNAMIC — static margin + the deepest current overlap —
+        # because per-step displacements scale with the overlap being
+        # resolved: a cold start activates (nearly) the whole list, so the
+        # truncated solve equals the full solve; steady state shrinks to
+        # the near-contact set (traced scalar: no recompiles).
         setup, sel, n_act, act_ovf = active_pair_subset(
-            setup_full, jnp.asarray(self.active_margin, self.dtype),
+            setup_full, self._dyn_margin(setup_full),
             self.act_capacity, c.num_spheres)
         # ordered-pair assembly on the active list: one blocked segmented
         # reduction per D-apply (ops/segments.py; 6x over scatter at 1M)
@@ -428,17 +449,28 @@ class LCPSpheresSim:
         gamma0 = jnp.where(hit, state.gamma[ppos],
                            jnp.where(setup.pairs.mask, g_snap, 0.0))
 
+        # Brownian drift is a KNOWN velocity: it enters the LCP's constant
+        # term so the solve enforces non-penetration of the actual
+        # end-of-step positions (without it the noise re-penetrates pairs
+        # after every solve and overlap stalls at the per-step drift scale
+        # ~sqrt(2 D dt) instead of max_allowable_overlap).
+        u_ext = None
+        if c.diffusion_coeff > 0:
+            u_ext = brownian_velocity(state.key, state.step, c.num_spheres,
+                                      jnp.asarray(c.diffusion_coeff,
+                                                  self.dtype),
+                                      c.dt, dtype=self.dtype)
+
         gamma, vel, res = resolve_collisions(
             setup, mobility, c.num_spheres, c.dt,
             max_allowable_overlap=c.max_allowable_overlap,
             max_iterations=c.max_col_iterations,
             gamma0=gamma0,
+            u_ext=u_ext,
         )
 
-        if c.diffusion_coeff > 0:
-            vel = vel + brownian_velocity(state.key, state.step, c.num_spheres,
-                                          jnp.asarray(c.diffusion_coeff, self.dtype),
-                                          c.dt, dtype=self.dtype)
+        if u_ext is not None:
+            vel = vel + u_ext
 
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
         return state.replace(

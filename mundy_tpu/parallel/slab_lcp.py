@@ -244,19 +244,33 @@ def make_slab_lcp_spheres_step(
                 sdot = -jnp.sum(normals * du, axis=-1)
                 return jnp.asarray(dt, dtype) * sdot
 
+            # Brownian drift is a KNOWN velocity: it enters the LCP's
+            # constant term q = sep0 + dt D^T u_b so the solve enforces
+            # non-penetration of the actual end-of-step positions (same
+            # semantics as resolve_collisions(u_ext=...)).
+            u_b = None
+            q = sep0
+            if diffusion > 0:
+                bz = brownian_velocity_keyed(
+                    key, step, gid, jnp.asarray(diffusion, dtype), dt,
+                    dtype=dtype).reshape(-1, 3)
+                u_b = jnp.where(valid.reshape(-1)[:, None], bz, 0.0)
+                ub_ext = halo_ext(u_b.reshape(ny, nzl, R, 3),
+                                  False).reshape(-1, 3)
+                dub = u_b[jnp.minimum(ii, n_slots - 1)] - ub_ext[jj]
+                q = sep0 - jnp.asarray(dt, dtype) * jnp.sum(normals * dub,
+                                                            axis=-1)
+
             cfg = PGDConfig(max_iters=max_col_iterations,
                             tol=max_allowable_overlap,
                             bb_rule="alternating",
                             residual="projected_gradient",
                             axis_names=(axis,))
-            res = solve_lcp(apply_A, sep0, x0=gamma, config=cfg, mask=pmask)
+            res = solve_lcp(apply_A, q, x0=gamma, config=cfg, mask=pmask)
             gamma = res.x
             vel = inv_drag * forces_of(gamma)
-            if diffusion > 0:
-                bz = brownian_velocity_keyed(
-                    key, step, gid, jnp.asarray(diffusion, dtype), dt,
-                    dtype=dtype).reshape(-1, 3)
-                vel = vel + jnp.where(valid.reshape(-1)[:, None], bz, 0.0)
+            if u_b is not None:
+                vel = vel + u_b
             new_pos = pos.reshape(-1, 3) + jnp.asarray(dt, dtype) * vel
             new_pos = new_pos - box_size * jnp.floor(new_pos * (1.0 / box_size))
             new_pos = jnp.where(valid.reshape(-1)[:, None], new_pos,

@@ -93,11 +93,9 @@ def test_slab_lcp_conserves_and_resolves(mesh8):
     assert not bool(state["overflow"])
     pos = flat_pos(state, n)
     assert np.isfinite(pos).all()
-    # Brownian noise is added AFTER the solve (as in the single-chip app),
-    # so residual penetration sits at the per-step Brownian displacement
-    # scale sqrt(6 D dt) ~ 0.05 shifted into the next solve — well under
-    # the radius but not at solver tolerance
-    assert brute_max_overlap(pos, box, radius) < 0.25 * radius
+    # Brownian drift enters the LCP's constant term (q = sep0 + dt D^T u_b)
+    # so end-of-step penetration holds at solver tolerance, noise included
+    assert brute_max_overlap(pos, box, radius) < 1e-4
 
 
 def test_lcp_ring_rpy_hydro(mesh8):

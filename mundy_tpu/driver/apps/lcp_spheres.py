@@ -509,7 +509,11 @@ class LCPSpheresSim:
 
         def outer_body(carry):
             s, done = carry
-            s = self._rebuild(s)
+            # rebuild only when the skin trigger fired (run_block re-enters
+            # this program every device_steps_per_call steps; an
+            # unconditional entry rebuild would pay the broad phase per
+            # chunk instead of per skin violation)
+            s = jax.lax.cond(moved(s), self._rebuild, lambda x: x, s)
             s, done = inner_body((s, done))
             return jax.lax.while_loop(inner_cond, inner_body, (s, done))
 
@@ -519,13 +523,25 @@ class LCPSpheresSim:
         )
         return state
 
+    # Cap on fused steps per device execution. A single XLA execution that
+    # runs for many minutes (50 fused 1M-body LCP steps ~ 6 min cold) gets
+    # the tunneled TPU worker killed ("TPU worker process crashed");
+    # chunking keeps each execution bounded while fences/logging stay at
+    # block granularity. Per-call overhead is ~26 ms RTT — noise next to
+    # the ~1.5 s/step this path runs at 1M.
+    device_steps_per_call: int = 16
+
     def run_block(self, state: LCPSpheresState, n_steps: int) -> LCPSpheresState:
         # (the old per-slot Pallas gridding kernels faulted inside the fused
         # nested-while program on v5e; the dense MXU gridding is pure XLA,
         # so the spectral path runs the fused loop like everything else)
         if not hasattr(self, "_run_jit"):
             self._run_jit = jax.jit(self._run_n)
-        state = self._run_jit(state, jnp.asarray(n_steps, jnp.int32))
+        done = 0
+        while done < n_steps:
+            k = min(self.device_steps_per_call, n_steps - done)
+            state = self._run_jit(state, jnp.asarray(k, jnp.int32))
+            done += k
         return self._resize_active(state)
 
     def _resize_active(self, state: LCPSpheresState) -> LCPSpheresState:

@@ -203,3 +203,51 @@ def test_slab_rows_matches_single_chip(mesh):
     flat = np.zeros((n, 3), np.float32)
     flat[gid[val]] = pos[val]
     np.testing.assert_allclose(flat, flat_ref, atol=2e-4)
+
+
+def test_slab_rows_local_rebuild_matches_global(mesh):
+    """The slab-local rebuild (boundary-plane migrant exchange + local
+    resort) must produce the exact rows the global resort does, and hence
+    identical trajectories to the single-chip engine."""
+    from mundy_tpu.driver.apps.spheres import SpheresConfig
+    from mundy_tpu.driver.apps.spheres_rows import RowSpheresSim
+    from mundy_tpu.parallel.slab_rows import make_slab_rows_spheres_step
+
+    n = 1500
+    box = 24.0  # nz = 17 -> 16 over 8 shards: nzl = 2, local rebuild legal
+    common = dict(n_total=n, box_size=box, radius=0.5, youngs=200.0,
+                  poisson=0.3, diffusion=0.05, dt=2e-4, skin=0.4)
+    init_l, step_l, grid = make_slab_rows_spheres_step(
+        mesh, "shard", rebuild_mode="local", **common)
+    init_g, step_g, _ = make_slab_rows_spheres_step(
+        mesh, "shard", rebuild_mode="global", **common)
+
+    key = jax.random.PRNGKey(11)
+    sl = init_l(key)
+    sg = init_g(key)
+    # long enough to cross several skin-triggered rebuilds
+    sl = step_l(sl, 60)
+    sg = step_g(sg, 60)
+    assert not bool(sl["overflow"]) and not bool(sg["overflow"])
+
+    def flatten(state):
+        pos = np.asarray(state["pos"]).reshape(-1, 3)
+        gid = np.asarray(state["gid"]).reshape(-1)
+        val = np.asarray(state["valid"]).reshape(-1)
+        flat = np.zeros((n, 3), np.float32)
+        flat[gid[val]] = pos[val]
+        assert val.sum() == n
+        return flat
+
+    np.testing.assert_array_equal(flatten(sl), flatten(sg))
+
+    # and both match the single-chip row engine on the same grid
+    cfg = SpheresConfig(num_spheres=n, box_size=box, radius=0.5,
+                        youngs_modulus=200.0, diffusion_coeff=0.05,
+                        dt=2e-4, skin=0.4, dtype="float32", log_every=1000)
+    sim = RowSpheresSim(cfg)
+    sim.grid = grid
+    s_ref = sim.run_block(sim.init(key), 60)
+    assert not bool(s_ref.overflow)
+    np.testing.assert_allclose(flatten(sl), np.asarray(sim.positions(s_ref)),
+                               atol=2e-4)

@@ -25,9 +25,11 @@ pattern (`mundy/mesh/src/mundy_mesh/GenNeighborLinkers.hpp:652-741`):
   of velocities with each ring neighbor, and evaluates sdot = -n . (U_i -
   U_j) against local + halo velocities.
 
-Rebuild is the slab_rows global resort (psum all-gather + reslice); the
-warm-start gamma restarts at zero on rebuild (rebuilds are skin-triggered
-and rare; between rebuilds gamma warm-starts step to step).
+Rebuild defaults to the slab-local resort (boundary-plane migrant exchange
++ per-shard sort, slab_local.py) where legal, falling back to the global
+psum-all-gather resort; the warm-start gamma restarts at zero on rebuild
+(rebuilds are skin-triggered and rare; between rebuilds gamma warm-starts
+step to step).
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mundy_tpu.dynamics import brownian_velocity_keyed
 from mundy_tpu.math.convex import PGDConfig, solve_lcp
 from mundy_tpu.neighbor.rows import RowGrid, _roll_image_shift, build_rows, make_row_grid
+from mundy_tpu.parallel.slab_local import local_resort_ok, slab_local_resort
 from mundy_tpu.ops.segments import SegmentWindows, segment_sum_sorted_blocked
 
 
@@ -79,6 +82,7 @@ def make_slab_lcp_spheres_step(
     capacity_slack: float = 1.9,
     seg_block: int = 512,
     dtype=jnp.float32,
+    rebuild_mode: str = "auto",
 ):
     """Returns (init_fn, step_block_fn, grid).
 
@@ -111,6 +115,15 @@ def make_slab_lcp_spheres_step(
     ext_slots = jnp.asarray(_ext_slot_planes(ny, nzl, R))  # (ny, nzl, 9R)
     perm_up = [(i, (i + 1) % d) for i in range(d)]
     perm_dn = [(i, (i - 1) % d) for i in range(d)]
+    local_ok = local_resort_ok(d, nzl)
+    if rebuild_mode == "auto":
+        rebuild_mode = "local" if local_ok else "global"
+    if rebuild_mode == "local" and not local_ok:
+        raise ValueError(
+            f"slab-local rebuild needs >=2 z-planes/slab and >=2 shards; "
+            f"got nz={nz} over {d} shards")
+    if rebuild_mode not in ("local", "global"):
+        raise ValueError(f"unknown rebuild_mode {rebuild_mode!r}")
     ez = None  # set inside (needs dtype-consistent constant)
 
     def halo_ext(p, shift_wrap: bool):
@@ -289,24 +302,31 @@ def make_slab_lcp_spheres_step(
         def rebuild(carry):
             (pos, valid, gid, _ref, gamma, _ii, _jj, _pm, _ws,
              lcp_iters, key, step, done) = carry
-            flat_local = jnp.zeros((n_total, 3), dtype)
-            idx = jnp.where(valid.reshape(-1), gid.reshape(-1), n_total)
-            flat_local = flat_local.at[idx].set(pos.reshape(-1, 3),
-                                                mode="drop")
-            flat = jax.lax.psum(flat_local, axis)
-            rows = build_rows(flat, jnp.arange(n_total, dtype=jnp.int32),
-                              grid)
-            me = jax.lax.axis_index(axis)
-            z0 = me * nzl
-            new_pos = jax.lax.dynamic_slice_in_dim(rows.pos, z0, nzl, axis=1)
-            new_val = jax.lax.dynamic_slice_in_dim(rows.valid, z0, nzl,
-                                                   axis=1)
-            new_gid = jax.lax.dynamic_slice_in_dim(rows.gid, z0, nzl, axis=1)
+            if rebuild_mode == "local":
+                new_pos, new_val, new_gid, _, rovf = slab_local_resort(
+                    pos, valid, gid, grid, nzl, axis, d)
+            else:
+                flat_local = jnp.zeros((n_total, 3), dtype)
+                idx = jnp.where(valid.reshape(-1), gid.reshape(-1), n_total)
+                flat_local = flat_local.at[idx].set(pos.reshape(-1, 3),
+                                                    mode="drop")
+                flat = jax.lax.psum(flat_local, axis)
+                rows = build_rows(flat, jnp.arange(n_total, dtype=jnp.int32),
+                                  grid)
+                me = jax.lax.axis_index(axis)
+                z0 = me * nzl
+                new_pos = jax.lax.dynamic_slice_in_dim(rows.pos, z0, nzl,
+                                                       axis=1)
+                new_val = jax.lax.dynamic_slice_in_dim(rows.valid, z0, nzl,
+                                                       axis=1)
+                new_gid = jax.lax.dynamic_slice_in_dim(rows.gid, z0, nzl,
+                                                       axis=1)
+                rovf = rows.overflow
             ii, jj, pmask, wstarts, povf = build_pairs(new_pos, new_val)
             return ((new_pos, new_val, new_gid, new_pos,
                      jnp.zeros((C,), dtype), ii, jj, pmask, wstarts,
                      lcp_iters, key, step, done),
-                    rows.overflow | povf)
+                    rovf | povf)
 
         def outer_body(carry_ovf):
             carry, ovf = carry_ovf

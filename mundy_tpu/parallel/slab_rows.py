@@ -46,10 +46,10 @@ from mundy_tpu.geom import periodic
 from mundy_tpu.neighbor.rows import (
     RowGrid,
     _roll_image_shift,
-    _row_coords,
     build_rows,
     make_row_grid,
 )
+from mundy_tpu.parallel.slab_local import local_resort_ok, slab_local_resort
 
 
 def make_slab_rows_spheres_step(
@@ -97,7 +97,7 @@ def make_slab_rows_spheres_step(
     # plane iz = z0-1 and the right-migrant plane iz = z0+nzl are distinct
     # cells) and a real ring (d >= 2); otherwise fall back to the global
     # resort, which is equivalent (and cheap) at those sizes.
-    local_ok = d >= 2 and nzl >= 2
+    local_ok = local_resort_ok(d, nzl)
     if rebuild_mode == "auto":
         rebuild_mode = "local" if local_ok else "global"
     if rebuild_mode == "local" and not local_ok:
@@ -211,87 +211,16 @@ def make_slab_rows_spheres_step(
             return ((new_pos, new_val, new_gid, new_pos, key, step, done),
                     jnp.logical_or(ovf, rows.overflow))
 
-        n_rows_loc = ny * nzl
-        n_loc = n_rows_loc * R
-        M = ny * R  # migrant capacity: one full boundary plane each way
-        sentinel_y = (grid.origin[1]
-                      - 1e6 * (grid.cell_yz[0] * ny + 1.0)).astype(dtype)
-
-        def _pack(mask, p, g):
-            """Pack masked entries into an M-slot migrant buffer (sentinel
-            positions pad the tail, as in build_rows)."""
-            idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            idx = jnp.where(mask, idx, M)
-            ovf = jnp.sum(mask) > M
-            bp = jnp.zeros((M, 3), dtype).at[:, 1].set(sentinel_y)
-            bp = bp.at[idx].set(p, mode="drop")
-            bg = jnp.zeros((M,), jnp.int32).at[idx].set(g, mode="drop")
-            bv = jnp.zeros((M,), bool).at[idx].set(mask, mode="drop")
-            return bp, bg, bv, ovf
-
         def rebuild_local(carry, ovf):
-            """Slab-local resort: exchange boundary-plane migrants with the
-            ring neighbors, then rebuild only the local (ny, nzl, R) block.
+            """Slab-local resort (slab_local.py): exchange boundary-plane
+            migrants with the ring neighbors, rebuild only the local block.
             Produces exactly the rows the global resort would (same (y,z)
             cell assignment, same within-row x sort)."""
             pos, valid, gid, _ref, key, step, done = carry
-            me = jax.lax.axis_index(axis)
-            z0 = me * nzl
-            p = pos.reshape(-1, 3)
-            v = valid.reshape(-1)
-            g = gid.reshape(-1)
-            _, iz = _row_coords(grid, p)
-            delta = jnp.mod(iz - z0, nz)
-            go_l = jnp.logical_and(v, delta == nz - 1)
-            go_r = jnp.logical_and(v, delta == nzl)
-            # moved >1 plane since the trigger: not a stay, not a migrant —
-            # would vanish silently, so flag it (host regrow / smaller dt)
-            lost = jnp.logical_and(
-                v, jnp.logical_and(delta > nzl, delta < nz - 1))
-            ovf = jnp.logical_or(ovf, jnp.any(lost))
-            lp, lg, lv, ovf_l = _pack(go_l, p, g)
-            rp, rg, rv, ovf_r = _pack(go_r, p, g)
-            # left-bound migrants travel to me-1 (perm_dn), right to me+1
-            lp, lg, lv = [jax.lax.ppermute(x, axis, perm_dn)
-                          for x in (lp, lg, lv)]
-            rp, rg, rv = [jax.lax.ppermute(x, axis, perm_up)
-                          for x in (rp, rg, rv)]
-            cp = jnp.concatenate([p, lp, rp], axis=0)
-            cg = jnp.concatenate([g, lg, rg], axis=0)
-            cv = jnp.concatenate(
-                [jnp.logical_and(v, delta < nzl), lv, rv], axis=0)
-            ciy, ciz = _row_coords(grid, cp)
-            cdelta = jnp.mod(ciz - z0, nz)
-            # a valid particle outside my slab here moved more than one
-            # plane since the skin trigger — physically possible only if the
-            # step displacement exceeded a cell edge; flag, don't drop
-            stray = jnp.logical_and(cv, cdelta >= nzl)
-            cv = jnp.logical_and(cv, cdelta < nzl)
-            row = jnp.where(cv, ciy * nzl + cdelta, n_rows_loc)
-            m = row.shape[0]
-            order_x = jnp.argsort(cp[:, 0])
-            order = order_x[jnp.argsort(row[order_x], stable=True)]
-            row_s = row[order]
-            first = jnp.concatenate(
-                [jnp.ones((1,), bool), row_s[1:] != row_s[:-1]])
-            starts = jnp.where(first, jnp.arange(m, dtype=jnp.int32), 0)
-            row_start = jax.lax.associative_scan(jnp.maximum, starts)
-            rank = jnp.arange(m, dtype=jnp.int32) - row_start
-            counts = jnp.zeros((n_rows_loc,), jnp.int32).at[row].add(
-                cv.astype(jnp.int32), mode="drop")
-            ovf = (ovf | ovf_l | ovf_r | jnp.any(counts > R)
-                   | jnp.any(stray))
-            slot = row_s * R + jnp.minimum(rank, R - 1)
-            keep = jnp.logical_and(rank < R, row_s < n_rows_loc)
-            slot = jnp.where(keep, slot, n_loc)
-            fp = jnp.zeros((n_loc, 3), dtype).at[:, 1].set(sentinel_y)
-            fp = fp.at[slot].set(cp[order], mode="drop")
-            fg = jnp.zeros((n_loc,), jnp.int32).at[slot].set(
-                cg[order], mode="drop")
-            fv = jnp.zeros((n_loc,), bool).at[slot].set(cv[order], mode="drop")
-            new_pos = fp.reshape(ny, nzl, R, 3)
-            return ((new_pos, fv.reshape(ny, nzl, R),
-                     fg.reshape(ny, nzl, R), new_pos, key, step, done), ovf)
+            new_pos, new_val, new_gid, _, ovf = slab_local_resort(
+                pos, valid, gid, grid, nzl, axis, d, ovf=ovf)
+            return ((new_pos, new_val, new_gid, new_pos, key, step, done),
+                    ovf)
 
         rebuild = (rebuild_local if rebuild_mode == "local"
                    else rebuild_global)

@@ -23,9 +23,10 @@ Per step each shard:
    streams, rigid Euler + quaternion update — the streams make trajectories
    a pure function of (key, step, gid), so they match the single-chip run).
 
-Rebuild (skin-triggered, decided globally via pmax) re-sorts GLOBALLY:
-psum-gather the flat (pos, quat) by gid, rebuild rows, slice the local
-slab — cross-slab migration is subsumed by the resort.
+Rebuild (skin-triggered, decided globally via pmax) defaults to the
+slab-local resort (boundary-plane migrant exchange via ppermute + per-shard
+sort, quaternions riding along as payload channels — slab_local.py) where
+legal, falling back to the global psum-gather resort.
 
 ref: the reference's only parallelism is this spatial decomposition + MPI
 ghosting (`GenNeighborLinkers.hpp:652-741`); spherocylinder narrow phase =
@@ -53,6 +54,7 @@ from mundy_tpu.neighbor.rows import (
     build_rows,
     make_row_grid,
 )
+from mundy_tpu.parallel.slab_local import local_resort_ok, slab_local_resort
 
 
 def make_slab_rods_step(
@@ -71,6 +73,7 @@ def make_slab_rods_step(
     skin: float = 0.4,
     capacity_slack: float = 1.9,
     dtype=jnp.float32,
+    rebuild_mode: str = "auto",
 ):
     """Returns (init_fn, step_block_fn, grid).
 
@@ -100,6 +103,15 @@ def make_slab_rods_step(
     nzl = nz // d
     R = grid.row_capacity
     ny = grid.ny
+    local_ok = local_resort_ok(d, nzl)
+    if rebuild_mode == "auto":
+        rebuild_mode = "local" if local_ok else "global"
+    if rebuild_mode == "local" and not local_ok:
+        raise ValueError(
+            f"slab-local rebuild needs >=2 z-planes/slab and >=2 shards; "
+            f"got nz={nz} over {d} shards")
+    if rebuild_mode not in ("local", "global"):
+        raise ValueError(f"unknown rebuild_mode {rebuild_mode!r}")
     half = float(0.5 * length)
     two_r = float(2.0 * radius)
     r_eff = float(0.5 * radius)
@@ -240,8 +252,16 @@ def make_slab_rods_step(
             d2 = jnp.where(valid, jnp.sum(disp * disp, axis=-1), 0.0)
             return jax.lax.pmax(jnp.max(d2), axis) > (0.5 * skin) ** 2
 
-        def rebuild(carry):
+        def rebuild(carry, ovf):
             pos, quat, valid, gid, _ref, key, step, done = carry
+            ident = jnp.zeros((4,), dtype).at[0].set(1.0)
+            if rebuild_mode == "local":
+                new_pos, new_val, new_gid, (new_quat,), ovf = \
+                    slab_local_resort(pos, valid, gid, grid, nzl, axis, d,
+                                      extras=(quat,), extra_fill=(ident,),
+                                      ovf=ovf)
+                return ((new_pos, new_quat, new_val, new_gid, new_pos, key,
+                         step, done), ovf)
             idx = jnp.where(valid.reshape(-1), gid.reshape(-1), n_total)
             flat_p = jnp.zeros((n_total, 3), dtype).at[idx].set(
                 pos.reshape(-1, 3), mode="drop")
@@ -253,17 +273,17 @@ def make_slab_rods_step(
                               grid)
             safe = jnp.minimum(rows.gid, n_total - 1)
             qrows = flat_q[safe]
-            ident = jnp.zeros((4,), dtype).at[0].set(1.0)
             qrows = jnp.where(rows.valid[..., None], qrows, ident)
             me = jax.lax.axis_index(axis)
             z0 = me * nzl
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, z0, nzl, axis=1)  # noqa: E731
-            return (sl(rows.pos), sl(qrows), sl(rows.valid), sl(rows.gid),
-                    sl(rows.pos), key, step, done)
+            return ((sl(rows.pos), sl(qrows), sl(rows.valid), sl(rows.gid),
+                     sl(rows.pos), key, step, done),
+                    jnp.logical_or(ovf, rows.overflow))
 
         def outer_body(carry_ovf):
             carry, ovf = carry_ovf
-            carry = rebuild(carry)
+            carry, ovf = rebuild(carry, ovf)
             carry = inner_step(carry)
             carry = jax.lax.while_loop(
                 lambda c: jnp.logical_and(c[7] < target,

@@ -130,3 +130,26 @@ def test_slab_rods_conservation_and_relaxation(mesh):
     np.testing.assert_array_equal(np.sort(gid[val]), np.arange(n))
     assert not bool(state["overflow"])
     assert s1 > s0, f"overlaps did not relax: {s0} -> {s1}"
+
+
+def test_slab_rods_local_rebuild_matches_global(mesh):
+    """Quaternions migrate with their rods through the slab-local resort:
+    local and global rebuild modes produce identical states."""
+    n = 2500
+    box = 48.0  # rod cutoff 2.9: nz = 16 over 8 shards -> nzl = 2
+    common = dict(n_total=n, box_size=box, length=2.0, radius=0.25,
+                  youngs=300.0, diffusion=0.08, rot_diffusion=0.08,
+                  dt=2e-4, skin=0.4, dtype=jnp.float64)
+    init_l, step_l, _ = make_slab_rods_step(
+        mesh, "shard", rebuild_mode="local", **common)
+    init_g, step_g, _ = make_slab_rods_step(
+        mesh, "shard", rebuild_mode="global", **common)
+    key = jax.random.PRNGKey(5)
+    sl = step_l(init_l(key), 40)
+    sg = step_g(init_g(key), 40)
+    assert not bool(sl["overflow"]) and not bool(sg["overflow"])
+    lp, lq = _flatten(sl, n)
+    gp, gq = _flatten(sg, n)
+    assert np.asarray(sl["valid"]).sum() == n
+    np.testing.assert_array_equal(lp, gp)
+    np.testing.assert_array_equal(lq, gq)

@@ -95,7 +95,7 @@ def filaments():
     state = sim.run_block(state, 50)
     fence(state.pos)
     dt = time.perf_counter() - t0
-    emit(phase="filaments_1000x100", steps_per_sec=50 / dt,
+    emit(phase="filaments100k", steps_per_sec=50 / dt,
          engine=sim.contact_engine, overflow=bool(state.overflow))
 
 
@@ -143,7 +143,10 @@ def _chroma(chains, tag):
         num_crosslinkers=n // 16, hydro="rpy_spectral", box_size=box,
         diffusion_coeff=0.05, dt=1e-4, dtype="float32"))
     state = sim.init()
-    state = sim.run_block(state, 2)
+    # regrow-aware warmup (an unrelaxed clustered init can overflow the
+    # analytic capacity estimates; run_blocks drains that before stepping)
+    from mundy_tpu.driver.regrow import run_blocks
+    state = run_blocks(sim, state, 2, 2, log=lambda s: None)
     fence(state.pos)
     t0 = time.perf_counter()
     state = sim.run_block(state, 20)
@@ -181,4 +184,4 @@ if __name__ == "__main__":
             t0 = time.perf_counter()
             ALL[name]()
         except Exception as e:  # keep going; report the failure
-            emit(phase=name, error=f"{type(e).__name__}: {e}"[:500])
+            emit(phase=name, error=f"{type(e).__name__}: {e}"[:2000])

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity
 from mundy_tpu.forces import fenewca_spring_forces, hookean_spring_forces
@@ -97,7 +98,9 @@ class ChromatinConfig:
 
     def __validate__(self):
         assert self.hydro in ("none", "rpy_neighbors", "rpy_spectral",
-                              "rpy_periphery")
+                              "rpy_periphery"), \
+            f"hydro '{self.hydro}' not one of: none, rpy_neighbors, " \
+            "rpy_spectral, rpy_periphery"
         if self.hydro == "rpy_spectral":
             assert self.box_size > 0, "rpy_spectral needs a periodic box_size"
         if self.hydro == "rpy_periphery":
@@ -132,6 +135,7 @@ class ChromatinSim:
         per-shard gridding + psum'd grid + slab-evaluated real space), the
         BASELINE #5 'sharded over a slice' mode."""
         self.config = c = config
+        validate_config(config)
         self._mesh = mesh
         self._mesh_axis = mesh_axis
         self.sharded_se = None
@@ -180,6 +184,15 @@ class ChromatinSim:
             pack = 0.74 / ((_math.pi / 6.0) * d ** 3) * cell_vol
             cap = int(pack + 6.0 * _math.sqrt(pack + 4.0) + 8.0)
             self.kmc_cell_capacity = min(((cap + 7) // 8) * 8, self.N)
+            # per-crosslinker candidate row capacity AFTER the rebuild-time
+            # distance compaction (close-packed bound on beads whose centers
+            # sit within kmc_cut; the raw 27-cell stencil is 27x cell
+            # capacity and is never stored): overflow-flagged and regrown
+            # like every other capacity
+            in_r = 0.74 * ((kmc_cut + c.bead_radius) / c.bead_radius) ** 3
+            self.kmc_K = min(
+                ((int(in_r + 6.0 * _math.sqrt(in_r + 4.0) + 8.0) + 7)
+                 // 8) * 8, self.N)
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.bead_radius)
         self.rows_slack = 1.9  # rows-broad-phase slot slack (regrow-grown)
         self.periphery = None
@@ -378,17 +391,45 @@ class ChromatinSim:
         off BELOW crosslinker_rest_length, hiding the Gaussian binding
         rate's peak from KMC. Queries only the X home beads against a
         capture-radius cell list (O(X * 27 * cap) gathers, no N-wide
-        matrix). Returns NeighborMatrix with (X, 27*cap) rows."""
+        matrix), then compacted to the kmc_K in-capture slots — the
+        bind/unbind sweep re-evaluates these rows EVERY step, so carrying
+        the raw 27-cell stencil (27*cap ~ 2600 slots at clustered-chromatin
+        occupancy) would cost X*27*cap distance gathers per step instead of
+        per rebuild. Cutoff = capture + skin: the skin rebuild trigger
+        (max displacement > skin/2, mutual approach <= skin) keeps the
+        compacted rows a superset of in-capture partners between rebuilds.
+        Returns NeighborMatrix with (X, kmc_K) rows."""
         from mundy_tpu.neighbor.cell_list import (
             NeighborMatrix,
+            _compact_rows,
             neighbor_candidates,
         )
 
+        c = self.config
         clist = build_cell_list(pos, self.kmc_grid, self.kmc_cell_capacity)
         cand = neighbor_candidates(pos[home], clist)  # (X, 27*cap)
-        idx = jnp.where((cand >= 0) & (cand != home[:, None]), cand, self.N)
-        return NeighborMatrix(idx=idx, mask=idx < self.N,
-                              overflow=clist.overflow), clist.overflow
+        # THREE scalar component gathers, never a (..., 3) candidate block:
+        # XLA materializes gathers batch-major, so even pos.T[:, idx] lands
+        # a (X*27cap, 3) intermediate whose minor axis of 3 tile-pads to
+        # 128 lanes — 42x, 21.7 GB at the clustered 262k config. Scalar
+        # gathers from (N,) planes keep every intermediate (X, 27cap).
+        # The cubic box makes per-component min-image exact.
+        ci = jnp.maximum(cand, 0)
+        px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+        dx = px[ci] - px[home][:, None]
+        dy = py[ci] - py[home][:, None]
+        dz = pz[ci] - pz[home][:, None]
+        if self.periodic:
+            box = jnp.asarray(c.box_size, self.dtype)
+            dx = dx - box * jnp.round(dx / box)
+            dy = dy - box * jnp.round(dy / box)
+            dz = dz - box * jnp.round(dz / box)
+        d2 = dx * dx + dy * dy + dz * dz
+        cut = self.kmc_capture + c.skin
+        ok = (cand >= 0) & (cand != home[:, None]) & (d2 < cut * cut)
+        idx, mask, count = _compact_rows(cand, ok, self.kmc_K, self.N)
+        ovf = clist.overflow | jnp.any(count > self.kmc_K)
+        return NeighborMatrix(idx=idx, mask=mask, overflow=ovf), ovf
 
     def _build_nmat(self, pos: Array, home: Optional[Array] = None):
         c = self.config
@@ -408,16 +449,27 @@ class ChromatinSim:
         if self.X == 0:
             return state
         pos = state.pos
-        home_pos = pos[state.xl_home]  # (X, 3)
         # candidates from the DEDICATED per-crosslinker search (rows are
         # per-crosslinker, not per-bead): its cutoff covers the Gaussian
         # rate out to the kmc_rate_floor tail, unlike the contact-scale
         # nmat (whose cutoff sits below the rest length)
         cand_idx = jnp.minimum(state.kmc_nmat.idx, self.N - 1)  # (X, K)
         cand_mask = state.kmc_nmat.mask
-        sep = (self.metric.sep(home_pos[:, None, :], pos[cand_idx])
-               if self.periodic else pos[cand_idx] - home_pos[:, None, :])
-        dr = jnp.linalg.norm(sep, axis=-1)
+        # THREE scalar component gathers (see _build_kmc_candidates): any
+        # (..., 3) candidate block tile-pads its minor axis to 128 lanes on
+        # TPU; (X, K) planes from (N,) component arrays never do. The cubic
+        # box makes per-component min-image exact.
+        home = state.xl_home
+        px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+        dx = px[cand_idx] - px[home][:, None]
+        dy = py[cand_idx] - py[home][:, None]
+        dz = pz[cand_idx] - pz[home][:, None]
+        if self.periodic:
+            box = jnp.asarray(self.config.box_size, self.dtype)
+            dx = dx - box * jnp.round(dx / box)
+            dy = dy - box * jnp.round(dy / box)
+            dz = dz - box * jnp.round(dz / box)
+        dr = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         rates = binding_rate_gaussian(dr, c.crosslinker_k,
                                       c.crosslinker_rest_length, c.kt,
                                       c.binding_rate)
@@ -577,6 +629,7 @@ class ChromatinSim:
         if self.X > 0:
             self.kmc_cell_capacity = min(grow_int(self.kmc_cell_capacity),
                                          self.N)
+            self.kmc_K = min(grow_int(self.kmc_K), self.N)
         if self.spectral is not None:
             self.se_geom = self.se_geom._replace(
                 R=grow_int(self.se_geom.R))

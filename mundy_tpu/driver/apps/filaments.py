@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity
 from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
@@ -89,6 +90,7 @@ class FilamentsState:
 class FilamentsSim:
     def __init__(self, config: FilamentsConfig):
         self.config = c = config
+        validate_config(config)
         self.dtype = jnp.dtype(c.dtype)
         self.F = c.num_filaments
         self.M = c.nodes_per_filament

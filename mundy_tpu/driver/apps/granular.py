@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.constraints import remap_gamma
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.forces.friction import frictional_hertzian_contact
@@ -82,6 +83,7 @@ class GranularState:
 class GranularSim:
     def __init__(self, config: GranularConfig):
         self.config = c = config
+        validate_config(config)
         self.dtype = jnp.dtype(c.dtype)
         self.search_radius = c.radius + 0.5 * c.skin
         ext = np.array([c.box_size, c.box_size, 2.0 * c.box_size])

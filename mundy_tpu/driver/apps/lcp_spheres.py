@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.constraints import (
     collision_setup_spheres,
     remap_gamma,
@@ -130,6 +131,7 @@ class LCPSpheresSim:
     def __init__(self, config: LCPSpheresConfig, mesh=None,
                  mesh_axis: str = "shard"):
         self.config = c = config
+        validate_config(config)
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)
         self.metric = periodic(box, dtype=self.dtype)
@@ -549,10 +551,17 @@ class LCPSpheresSim:
         count (a relaxing cold start shrinks it ~5x; every BBPGD iteration's
         gathers scale with the capacity, so slack is paid per iteration).
         Runs AFTER a block and eagerly compiles the resized program so the
-        next block's timing never contains the recompile."""
+        next block's timing never contains the recompile.
+
+        Hysteresis: growing is mandatory (the next block would overflow),
+        but shrinking only pays off past a 4x overshoot — each resize
+        recompiles the fused run program (~40-60 s through the remote-
+        compile tunnel at 1M), and a count hovering near a pow2 boundary
+        would otherwise bounce the capacity (and eat a recompile) every
+        block."""
         n_act = int(jax.device_get(state.act_count))
         target = _pow2(int(n_act * 1.4) + 1024)
-        if target == self.act_capacity:
+        if target >= self.act_capacity // 4 and target <= self.act_capacity:
             return state
         m = min(self.act_capacity, target)
         # active slots are front-packed ([0, n_act) valid), so a prefix

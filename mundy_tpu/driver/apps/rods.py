@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity, brownian_angular_velocity
 from mundy_tpu.dynamics.integrators import euler_step_rigid
@@ -79,6 +80,7 @@ class RodsState:
 class RodsSim:
     def __init__(self, config: RodsConfig):
         self.config = c = config
+        validate_config(config)
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)
         self.metric = periodic(box, dtype=self.dtype)

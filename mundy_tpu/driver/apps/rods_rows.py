@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.driver.apps.rods import RodsConfig
 from mundy_tpu.dynamics import brownian_velocity_keyed, euler_step_rigid
@@ -59,6 +60,7 @@ class RowRodsSim:
 
     def __init__(self, config: RodsConfig, capacity_slack: float = 1.9):
         self.config = c = config
+        validate_config(config)
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)
         self.metric = periodic(box, dtype=self.dtype)

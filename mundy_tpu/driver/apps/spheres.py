@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass, static_field
 from mundy_tpu.dynamics import brownian_velocity_keyed, euler_step
 from mundy_tpu.forces import hertzian_contact_forces
@@ -89,6 +90,7 @@ class SpheresSim:
 
     def __init__(self, config: SpheresConfig):
         self.config = config
+        validate_config(config)
         c = config
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)

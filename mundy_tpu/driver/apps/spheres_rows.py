@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.driver.apps.spheres import SpheresConfig
 from mundy_tpu.dynamics import brownian_velocity_keyed
@@ -50,6 +51,7 @@ class RowSpheresSim:
     def __init__(self, config: SpheresConfig, capacity_slack: float = 1.9,
                  use_pallas: Optional[bool] = None):
         self.config = c = config
+        validate_config(config)
         self.dtype = jnp.dtype(c.dtype)
         box = np.array([c.box_size] * 3)
         self.metric = periodic(box, dtype=self.dtype)

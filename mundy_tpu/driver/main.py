@@ -10,9 +10,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import jax
+
+# Persistent compile cache: on the tunneled TPU runtime a large fused run
+# program costs minutes to compile; cache across driver invocations.
+# MUNDY_TPU_CACHE_DIR="" opts out.
+_cache_dir = os.environ.get("MUNDY_TPU_CACHE_DIR", "/root/.jax_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from mundy_tpu.driver.configurator import available_apps, build_simulation_from_yaml
 from mundy_tpu.io import latest_checkpoint, load_checkpoint, save_checkpoint

@@ -951,9 +951,13 @@ def neighbor_matrix_rows(
         # 3.1x at 1M, K=12 (1470 -> 473 ms full broad phase, readback-forced
         # timing): the K extraction passes stay VMEM-resident instead of K
         # HBM round trips. The remaining costs are build_rows (~67 ms) and
-        # the slot->gid unsort scatter (~155 ms).
+        # the slot->gid unsort scatter (~155 ms). Gated on the kernel's
+        # scoped-VMEM model — clustered configs can regrow R past the
+        # ceiling, where the XLA extraction takes over.
+        from mundy_tpu.ops.pallas.row_extract import row_extract_vmem_ok
         use_pallas = (jax.default_backend() == "tpu" and dtype == jnp.float32
-                      and all(flags) and ny >= 5 and nz >= 5 and nz % 8 == 0)
+                      and all(flags) and ny >= 5 and nz >= 5 and nz % 8 == 0
+                      and row_extract_vmem_ok(nz, R, k_out))
     if search_radii is not None:
         use_pallas = False  # the Mosaic kernel assumes one uniform cutoff
     if use_pallas:

@@ -325,6 +325,28 @@ class ChromatinSim:
             if self._mesh is not None:
                 self._make_sharded_se()
 
+        if self.periodic:
+            # right-size the contact-rows slack from the MEASURED initial
+            # row occupancy: Hilbert-packed chains cluster ~2-3x over the
+            # mean (measured 112 vs mean 57 at 32k), so the default 1.9
+            # mean-slack overflows on every fresh clustered init and pays
+            # a regrow recompile before the first block
+            from mundy_tpu.neighbor.rows import make_row_grid
+            rg = make_row_grid([0, 0, 0], (c.box_size,) * 3,
+                               2.0 * float(self.search_radius), self.N,
+                               capacity_slack=self.rows_slack, align=8)
+            p = np.asarray(pos)
+            iy = np.clip((p[:, 1] / (c.box_size / rg.ny)).astype(int),
+                         0, rg.ny - 1)
+            iz = np.clip((p[:, 2] / (c.box_size / rg.nz)).astype(int),
+                         0, rg.nz - 1)
+            occ = int(np.bincount(iy * rg.nz + iz,
+                                  minlength=rg.ny * rg.nz).max())
+            need = int(occ * 1.3) + 8
+            if need > rg.row_capacity:
+                mean = self.N / (rg.ny * rg.nz)
+                self.rows_slack = max(self.rows_slack, (need - 8) / mean)
+
         home = jnp.asarray(
             rng.integers(0, self.N, size=max(self.X, 1))[: self.X], jnp.int32
         )

@@ -163,3 +163,31 @@ def test_spectral_hydro_periodic_box():
                          state.pos[np.asarray(sim.bond_j)])
     L = np.asarray(jnp.linalg.norm(sep, axis=-1))
     assert L.max() < c.backbone_rmax * 2 * c.bead_radius
+
+
+def test_kmc_candidate_compaction_overflow_flagged():
+    """The compacted KMC candidate rows (kmc_K slots, not the raw 27-cell
+    stencil) must flag overflow when more beads sit inside capture+skin
+    than the row capacity — the regrow loop's growth signal."""
+    c = cfg(num_crosslinkers=4)
+    sim = ChromatinSim(c)
+    # undersized row capacity (the pre-regrow condition; at test sizes the
+    # analytic bound caps at N, where overflow is impossible by pigeonhole)
+    sim.kmc_K = 32
+    state = sim.init()
+    pos = np.asarray(state.pos).copy()
+    home = int(np.asarray(state.xl_home)[0])
+    # park a cluster of kmc_K + 8 beads inside the capture radius of home
+    # (random directions, radius in [0.3, 0.9] * capture)
+    rng = np.random.default_rng(0)
+    m = sim.kmc_K + 8
+    others = [i for i in range(sim.N) if i != home][:m]
+    u = rng.normal(size=(m, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    r = sim.kmc_capture * rng.uniform(0.3, 0.9, size=(m, 1))
+    pos[others] = pos[home] + u * r
+    nmat, ovf = sim._build_kmc_candidates(jnp.asarray(pos), state.xl_home)
+    assert bool(ovf)
+    # rows stay well-formed: masked slots hold real bead indices
+    idx = np.asarray(nmat.idx)[0][np.asarray(nmat.mask)[0]]
+    assert ((idx >= 0) & (idx < sim.N)).all()

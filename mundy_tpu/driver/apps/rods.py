@@ -88,6 +88,7 @@ class RodsSim:
         self.search_radius = 0.5 * c.length + c.radius + 0.5 * c.skin
         self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
                                    (True,) * 3, self.dtype)
+        self.rows_slack = 1.9  # row-broad-phase slot slack (regrow-grown)
         # isotropic local drag for a rod of half-length+cap envelope
         a_eff = (0.75 * (0.5 * c.length + c.radius) * c.radius * c.radius) ** (1.0 / 3.0)
         self.inv_drag_t = 1.0 / (6.0 * _math.pi * c.viscosity * a_eff)
@@ -114,8 +115,20 @@ class RodsSim:
 
             rg = make_row_grid([0, 0, 0], (c.box_size,) * 3,
                                2 * float(self.search_radius), c.num_rods,
-                               capacity_slack=1.9, dtype=self.dtype, align=8)
-            if c.max_neighbors * rg.row_capacity <= 2048:
+                               capacity_slack=self.rows_slack,
+                               dtype=self.dtype, align=8)
+            # the Pallas VMEM-resident extraction lifts the fat-cutoff gate:
+            # its K passes stay on-chip (measured 3.2 s -> amortizable for
+            # rods' R ~ 176, K = 32 shapes), so rows win whenever the
+            # kernel's envelope admits the shape; the XLA extraction keeps
+            # the old work gate
+            from mundy_tpu.ops.pallas.row_extract import row_extract_vmem_ok
+            pallas_ok = (jax.default_backend() == "tpu"
+                         and self.dtype == jnp.float32
+                         and rg.ny >= 5 and rg.nz >= 5 and rg.nz % 8 == 0
+                         and row_extract_vmem_ok(rg.nz, rg.row_capacity,
+                                                 c.max_neighbors))
+            if pallas_ok or c.max_neighbors * rg.row_capacity <= 2048:
                 nmat = neighbor_matrix_rows(
                     pos, float(self.search_radius), (c.box_size,) * 3,
                     max_neighbors=c.max_neighbors, grid=rg)
@@ -279,6 +292,7 @@ class RodsSim:
         c = self.config
         c.cell_capacity = grow_int(c.cell_capacity)
         c.max_neighbors = grow_int(c.max_neighbors)
+        self.rows_slack *= 1.5  # row-slot overflow must also grow R
         self.__dict__.pop("_run_jit", None)
         nmat, ovf = self._build_nmat(state.pos)
         return state.replace(nmat=nmat, ref_pos=state.pos, overflow=ovf)

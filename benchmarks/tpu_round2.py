@@ -114,6 +114,12 @@ def _lcp(n, steps_warm, steps_meas, tag):
     state = sim.run_block(state, steps_warm)
     fence(state.pos)
     cold = time.perf_counter() - t0
+    # settle blocks: let the active-set capacity resize (and its eager
+    # recompile) land OUTSIDE the timed region — a shrink fires after the
+    # relax, and its ~30-60 s compile would otherwise sit in the timing
+    for _ in range(3):
+        state = sim.run_block(state, 5)
+    fence(state.pos)
     t0 = time.perf_counter()
     state = sim.run_block(state, steps_meas)
     fence(state.pos)

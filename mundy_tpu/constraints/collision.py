@@ -143,14 +143,40 @@ def collision_setup_spheres(
 ) -> CollisionSetup:
     """Signed separation + contact normal per pair.
 
+    VECTOR gathers on purpose: computed-index gathers cost ~4.3 ns/ROW
+    regardless of width on v5e, so one (C, 3) gather beats three scalar-
+    plane gathers 4-6.5x at C <= ~1M (measured: the sep-rate pattern at
+    C = 65k runs 0.93 ms with vector gathers vs 3.56 ms on planes; at
+    C = 1M, 11.7 vs 76.4). Component planes are only for BILLION-slot
+    candidate tables where the (M, 3) intermediate's 42x lane padding
+    out-sizes HBM (chromatin KMC) — that is a memory rule, not a speed
+    rule. Orthorhombic boxes still skip the metric's fractional-coordinate
+    einsum for a per-component min image.
+
     ref: compute_signed_separation_distance_and_contact_normal
     (`StkNgpLCP.cpp:468-510`).
     """
+    from mundy_tpu.neighbor.rows import orthorhombic_lengths
+
+    box = None if metric is None else orthorhombic_lengths(metric)
     pi = pos[pairs.i]
     pj = pos[pairs.j]
-    sep = (pj - pi) if metric is None else metric.sep(pi, pj)
-    d = jnp.sqrt(jnp.maximum(jnp.sum(sep * sep, axis=-1), 1e-24))
-    normals = sep / d[..., None]
+    if metric is None or box is not None:
+        sep = pj - pi
+        if box is not None:
+            lens, flags = box
+            shift = jnp.asarray([l if f else 0.0 for l, f in
+                                 zip(lens, flags)], pos.dtype)
+            safe = jnp.where(shift > 0, shift, 1.0)
+            sep = sep - shift * jnp.round(sep / safe)
+        d2 = jnp.maximum(jnp.sum(sep * sep, axis=-1), 1e-24)
+        rinv = jax.lax.rsqrt(d2) if d2.dtype == jnp.float32 else d2 ** -0.5
+        d = d2 * rinv
+        normals = sep * rinv[..., None]
+    else:
+        sep = metric.sep(pi, pj)
+        d = jnp.sqrt(jnp.maximum(jnp.sum(sep * sep, axis=-1), 1e-24))
+        normals = sep / d[..., None]
     radius = jnp.broadcast_to(radius, pos.shape[:1])
     sep0 = d - radius[pairs.i] - radius[pairs.j]
     return CollisionSetup(pairs=pairs, normals=normals, sep0=sep0,
@@ -190,6 +216,10 @@ def collision_forces(setup: CollisionSetup, gamma: Array, n_bodies: int) -> Arra
 
 def _sep_rate(setup: CollisionSetup, vel: Array) -> Array:
     """sdot = D^T U = -n . (U_i - U_j).
+
+    Vector gathers on purpose — this runs once per BBPGD iteration, and
+    one (C, 3) gather beats three scalar-plane gathers 4-6.5x on v5e
+    (gather cost is per ROW, not per element; see collision_setup_spheres).
 
     ref: compute_rate_of_change_of_sep (`StkNgpLCP.cpp:635-668`).
     """

@@ -553,16 +553,26 @@ class LCPSpheresSim:
         Runs AFTER a block and eagerly compiles the resized program so the
         next block's timing never contains the recompile.
 
-        Hysteresis: growing is mandatory (the next block would overflow),
-        but shrinking only pays off past a 4x overshoot — each resize
-        recompiles the fused run program (~40-60 s through the remote-
-        compile tunnel at 1M), and a count hovering near a pow2 boundary
-        would otherwise bounce the capacity (and eat a recompile) every
-        block."""
+        Hysteresis: growing is immediate, but a shrink must be demanded by
+        TWO consecutive blocks — each resize recompiles the fused run
+        program (~40-60 s through the remote-compile tunnel at 1M), and a
+        count hovering near a pow2 boundary would otherwise bounce the
+        capacity (and eat a recompile) every block. A band-based rule
+        (shrink only past 4x overshoot) was tried instead and left the
+        steady state 3.2x oversized after a relaxing cold start — slack
+        every BBPGD iteration then pays for (measured: 41k active in 131k
+        slots at 100k bodies)."""
         n_act = int(jax.device_get(state.act_count))
         target = _pow2(int(n_act * 1.4) + 1024)
-        if target >= self.act_capacity // 4 and target <= self.act_capacity:
+        if target == self.act_capacity:
+            self._act_shrink_streak = 0
             return state
+        if target < self.act_capacity:
+            streak = getattr(self, "_act_shrink_streak", 0)
+            if streak < 1:
+                self._act_shrink_streak = streak + 1
+                return state
+        self._act_shrink_streak = 0
         m = min(self.act_capacity, target)
         # active slots are front-packed ([0, n_act) valid), so a prefix
         # copy preserves every live multiplier when m >= n_act

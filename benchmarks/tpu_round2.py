@@ -127,6 +127,8 @@ def _lcp(n, steps_warm, steps_meas, tag):
     emit(phase=tag, steps_per_sec=steps_meas / dt,
          cold_start_steps_per_sec=steps_warm / cold,
          lcp_iters=int(state.lcp_iters),
+         lcp_iters_max=int(state.lcp_iters_max),
+         act_count=int(state.act_count), act_capacity=sim.act_capacity,
          max_overlap=sim.max_overlap(state),
          overflow=bool(state.overflow))
 

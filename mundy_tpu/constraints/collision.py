@@ -98,10 +98,13 @@ def active_pair_subset(setup: CollisionSetup, margin, capacity: int,
     generates constraints only from the current-step search
     (`StkNgpLCP.cpp:468-510`), paying a per-step BVH instead of a skin.
 
-    The compaction is gather-only (sorted-prefix-sum + batched binary
-    search; no scatter): cumsum over the active mask, then slot k of the
-    output = searchsorted(cum, k+1). Order (i-sorted) is preserved, so the
-    blocked segment machinery applies directly.
+    The compaction is ONE inverse-map scatter: active slot c writes its
+    full-list index at output position cum[c]-1 (cumsum over the active
+    mask). A searchsorted formulation (slot k = searchsorted(cum, k+1))
+    was measured at 190 ms for 1M slots — a 21-probe binary-search gather
+    storm — vs ~10 ms for the scatter (~8.6 ns/row). Order (i-sorted) is
+    preserved either way, so the blocked segment machinery applies
+    directly.
 
     Returns (setup_act (windows=None), sel, n_act, overflow): `sel`
     (capacity,) int32 maps active slot -> full-list slot, padded past
@@ -113,9 +116,13 @@ def active_pair_subset(setup: CollisionSetup, margin, capacity: int,
     act = pairs.mask & (setup.sep0 < margin)
     cum = jnp.cumsum(act.astype(jnp.int32))
     n_act = cum[c_full - 1]
-    k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    sel = jnp.searchsorted(cum, k).astype(jnp.int32)
-    valid = k <= n_act
+    # inactive slots and beyond-capacity actives land on the trimmed pad
+    # position; active positions cum-1 are unique, so the scatter is
+    # deterministic where it matters
+    slots = jnp.where(act, jnp.minimum(cum - 1, capacity), capacity)
+    sel = jnp.full((capacity + 1,), c_full, jnp.int32).at[slots].set(
+        jnp.arange(c_full, dtype=jnp.int32))[:capacity]
+    valid = sel < c_full
     sel_c = jnp.minimum(sel, c_full - 1)
     ai = jnp.where(valid, pairs.i[sel_c], n_bodies)
     aj = jnp.where(valid, pairs.j[sel_c], n_bodies)

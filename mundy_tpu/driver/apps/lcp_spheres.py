@@ -51,11 +51,21 @@ from mundy_tpu.neighbor import (
 
 
 def _pow2(n: int) -> int:
-    """Next power of two >= n (>= 1024): the active-set capacity grid —
-    bounds the number of distinct compiled programs as the set size drifts."""
+    """Smallest quarter-pow2 grid point >= n (>= 1024): the active-set
+    capacity grid. Quarter steps ({1, 1.25, 1.5, 1.75} x 2^k) bound the
+    standing slack at 25% instead of pow2's 100% — every BBPGD iteration's
+    gathers scale with the capacity, and at 1M bodies the pure-pow2 grid
+    parked 417k active pairs in 1.05M slots (2.5x). Still a coarse enough
+    grid that capacity drift compiles O(4 log) distinct programs."""
     p = 1024
     while p < n:
         p *= 2
+    if p <= 1024:
+        return p
+    for frac in (10, 12, 14):  # 1.25, 1.5, 1.75 x the next-lower pow2
+        c = (p // 16) * frac
+        if c >= n:
+            return c
     return p
 
 
@@ -122,6 +132,7 @@ class LCPSpheresState:
     ref_pos: Array  # positions at last rebuild
     rebuild_count: Array
     lcp_iters: Array  # () int32 — last solve iterations
+    lcp_iters_max: Array  # () int32 — max iterations since last reset
     lcp_residual: Array
     act_count: Array  # () int32 — last step's active-pair count
     overflow: Array
@@ -315,6 +326,7 @@ class LCPSpheresSim:
             ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32),
             lcp_iters=jnp.asarray(0, jnp.int32),
+            lcp_iters_max=jnp.asarray(0, jnp.int32),
             lcp_residual=jnp.asarray(0.0, self.dtype),
             act_count=jnp.asarray(n_act, jnp.int32),
             overflow=ovf,
@@ -438,17 +450,22 @@ class LCPSpheresSim:
         overflow = overflow | hydro_ovf
 
         # Warm start: pairs persisting in the active set match their slot
-        # in last step's selection (both slot maps are sorted — one binary
-        # search + one equality probe); pairs entering the set fall back to
-        # the rebuild-time full-list snapshot (~their last known value;
-        # fresh pairs were ~0 there, which is also the right guess).
+        # in last step's selection via an inverse map — one scatter of the
+        # old selection (full-slot -> old active slot) + one gather. The
+        # searchsorted formulation this replaces cost 196 ms at 1M active
+        # slots (binary-search gather storm) vs ~15 ms for scatter+gather.
+        # Pairs entering the set fall back to the rebuild-time full-list
+        # snapshot (~their last known value; fresh pairs were ~0 there,
+        # which is also the right guess).
         a_cap = self.act_capacity
-        ppos = jnp.minimum(
-            jnp.searchsorted(state.gamma_sel, sel).astype(jnp.int32),
-            a_cap - 1)
-        hit = (state.gamma_sel[ppos] == sel) & setup.pairs.mask
-        g_snap = state.gamma_full[jnp.minimum(sel, self.pair_capacity - 1)]
-        gamma0 = jnp.where(hit, state.gamma[ppos],
+        c_cap = self.pair_capacity
+        inv = jnp.full((c_cap + 1,), a_cap, jnp.int32).at[
+            jnp.minimum(state.gamma_sel, c_cap)].set(
+            jnp.arange(a_cap, dtype=jnp.int32))
+        ppos = inv[jnp.minimum(sel, c_cap)]
+        hit = (ppos < a_cap) & setup.pairs.mask
+        g_snap = state.gamma_full[jnp.minimum(sel, c_cap - 1)]
+        gamma0 = jnp.where(hit, state.gamma[jnp.minimum(ppos, a_cap - 1)],
                            jnp.where(setup.pairs.mask, g_snap, 0.0))
 
         # Brownian drift is a KNOWN velocity: it enters the LCP's constant
@@ -477,7 +494,9 @@ class LCPSpheresSim:
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
         return state.replace(
             pos=new_pos, gamma=gamma, gamma_sel=sel, step=state.step + 1,
-            lcp_iters=res.num_iters, lcp_residual=res.residual,
+            lcp_iters=res.num_iters,
+            lcp_iters_max=jnp.maximum(state.lcp_iters_max, res.num_iters),
+            lcp_residual=res.residual,
             act_count=n_act, overflow=overflow,
         )
 

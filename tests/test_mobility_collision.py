@@ -224,3 +224,37 @@ def test_remap_gamma_by_pair_identity():
     for slot, (a, b) in enumerate(sorted(new_contacts)):
         assert out[slot] == expect[(a, b)], (a, b, out[slot])
     assert (out[len(new_contacts):] == 0).all()
+
+
+def test_active_pair_subset_matches_mask(rng):
+    """The scatter-based compaction must select EXACTLY the in-margin pairs,
+    in i-sorted order, and flag overflow when they exceed the capacity."""
+    from mundy_tpu.constraints.collision import active_pair_subset
+    from mundy_tpu.constraints import collision_setup_spheres
+
+    n, c_full = 200, 256
+    pos = jnp.asarray(rng.uniform(0, 10, (n, 3)))
+    i = np.sort(rng.integers(0, n, c_full)).astype(np.int32)
+    j = rng.integers(0, n, c_full).astype(np.int32)
+    mask = rng.uniform(size=c_full) < 0.8
+    pairs = PairList(i=jnp.asarray(np.where(mask, i, n)),
+                     j=jnp.asarray(np.where(mask, j, n)),
+                     mask=jnp.asarray(mask),
+                     num_pairs=jnp.asarray(int(mask.sum())),
+                     overflow=jnp.asarray(False))
+    setup = collision_setup_spheres(pos, jnp.asarray(0.5), pairs)
+    margin = jnp.asarray(2.0)
+    want = np.nonzero(mask & (np.asarray(setup.sep0) < 2.0))[0]
+
+    for cap in (int(len(want)) + 8, max(int(len(want)) - 4, 1)):
+        sub, sel, n_act, ovf = active_pair_subset(setup, margin, cap, n)
+        assert int(n_act) == len(want)
+        if cap >= len(want):
+            assert not bool(ovf)
+            got = np.asarray(sel)[: len(want)]
+            assert (got == want).all()  # exact set, i-sorted order
+            assert (np.asarray(sel)[len(want):] == setup.sep0.shape[0]).all()
+            assert (np.asarray(sub.pairs.i)[: len(want)]
+                    == np.asarray(pairs.i)[want]).all()
+        else:
+            assert bool(ovf)

@@ -368,16 +368,28 @@ class ChromatinSim:
         when the box is wide enough, cell-list otherwise."""
         c = self.config
         n_cells = int((2 * self.domain) // (2 * search_radius))
+        rows_ok = False
         if self.periodic and n_cells >= 5:
+            from mundy_tpu.neighbor.rows import (make_row_grid,
+                                                 rows_extract_feasible)
+            n_excl = 0 if exclude is None else exclude.shape[1]
+            rg = make_row_grid([0, 0, 0], (c.box_size,) * 3,
+                               2.0 * float(search_radius), self.N,
+                               capacity_slack=self.rows_slack, align=8)
+            # clustered chains can grow R past what EITHER extraction path
+            # affords (at 1M the XLA path's single y-plane is 3.6 GB) —
+            # those regimes take the cell-list builder below, whose 3D
+            # cells bound occupancy locally instead of per full-x column
+            rows_ok = rows_extract_feasible(rg, max_neighbors + n_excl)
+        if rows_ok:
             # gather-free row broad phase (the cell-list builder costs 10 s
             # at 1M); exclusions applied as a post-filter — the exclusion
             # table is just (prev, next), two lane compares
             from mundy_tpu.neighbor.rows import neighbor_matrix_rows
-            n_excl = 0 if exclude is None else exclude.shape[1]
             nmat = neighbor_matrix_rows(
                 pos, float(search_radius), (c.box_size,) * 3,
                 max_neighbors=max_neighbors + n_excl,
-                capacity_slack=self.rows_slack,
+                capacity_slack=self.rows_slack, grid=rg,
             )
             if exclude is not None:
                 excl_hit = jnp.any(

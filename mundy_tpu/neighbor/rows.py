@@ -1022,7 +1022,20 @@ def neighbor_matrix_rows(
     # ~4 live (R, 9R) blocks in the extraction graph
     bytes_per_row = 4 * nz * R * 9 * R * itemsize
     chunk_y = int(hbm_budget_bytes // max(bytes_per_row, 1))
-    if chunk_y >= ny or chunk_y < 1:
+    if chunk_y < 1:
+        # even ONE y-plane of (nz, R, 9R) blocks busts the budget — the
+        # heavily-clustered regime (R integrates clustering over the full
+        # x axis). Refuse loudly: the silent fallback used to build the
+        # UNCHUNKED graph (74 GB at 1M clustered chromatin, compile-time
+        # HBM OOM). Callers should use the cell-list builder here (3D
+        # cells bound occupancy locally; see rows_extract_feasible).
+        raise ValueError(
+            f"neighbor_matrix_rows: one y-plane of the extraction graph "
+            f"needs {bytes_per_row / 1e9:.1f} GB (> budget "
+            f"{hbm_budget_bytes / 1e9:.1f} GB) at R={R}, nz={nz} — the "
+            "distribution is too clustered for the row layout; use the "
+            "cell-list builder (neighbor_matrix)")
+    if chunk_y >= ny:
         ids, msk, count = extract(ox, oy, oz, state.gid, state.valid,
                                   cx, cy_, cz, cgid, sr_rows, csr)
     else:
@@ -1064,6 +1077,25 @@ def neighbor_matrix_rows(
         msk.reshape(-1, k_out), mode="drop")
     overflow = state.overflow | jnp.any(count > k_out)
     return NeighborMatrix(idx=idx, mask=mask, overflow=overflow)
+
+
+def rows_extract_feasible(grid: RowGrid, max_neighbors: int,
+                          itemsize: int = 4,
+                          hbm_budget_bytes: float = 2.5e9) -> bool:
+    """True when neighbor_matrix_rows can extract at this grid's shape —
+    either the Pallas kernel's VMEM envelope admits it or the XLA path can
+    chunk at least one y-plane under the HBM budget. False means the
+    distribution is too clustered for the row layout (R integrates
+    clustering over the full x axis); callers should use the cell-list
+    builder, whose 3D cells bound occupancy locally."""
+    from mundy_tpu.ops.pallas.row_extract import row_extract_vmem_ok
+
+    nz, R = grid.nz, grid.row_capacity
+    if (jax.default_backend() == "tpu" and itemsize == 4 and nz % 8 == 0
+            and grid.ny >= 5 and nz >= 5
+            and row_extract_vmem_ok(nz, R, max_neighbors)):
+        return True
+    return 4 * nz * R * 9 * R * itemsize <= hbm_budget_bytes
 
 
 def moved_beyond_skin(state: RowState, metric: Metric, skin: float) -> Array:

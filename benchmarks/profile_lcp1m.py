@@ -1,0 +1,191 @@
+"""Component-level profile of the 1M-body LCP step on real TPU.
+
+Times each piece of the per-step pipeline with on-device fori loops and
+readback fences (PERF.md methodology). Run: python benchmarks/profile_lcp1m.py [n]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def fence(x):
+    return float(jnp.sum(jnp.ravel(x)[:1]))
+
+
+def timeit(fn, *args, iters=8, inner=None, tag=""):
+    """Time fn(*args); if inner is set, fn must be loopable on device."""
+    out = fn(*args)
+    fence(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        fence(jax.tree_util.tree_leaves(out)[0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{tag:40s} {dt*1e3:9.2f} ms", flush=True)
+    return out, dt
+
+
+def loop_time(make_body, n_loop, tag, arg):
+    """On-device fori loop around body to avoid tunnel RTT per call."""
+
+    @jax.jit
+    def run(a):
+        def body(_, carry):
+            return make_body(carry)
+        return jax.lax.fori_loop(0, n_loop, body, a)
+
+    out = run(arg)
+    fence(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    out = run(arg)
+    fence(jax.tree_util.tree_leaves(out)[0])
+    dt = (time.perf_counter() - t0) / n_loop
+    print(f"{tag:40s} {dt*1e3:9.2f} ms/iter  (x{n_loop} on-device)", flush=True)
+    return dt
+
+
+def main(n=1_000_000):
+    from mundy_tpu.constraints.collision import (
+        active_pair_subset,
+        collision_forces,
+        collision_setup_spheres,
+        _sep_rate,
+    )
+    from mundy_tpu.driver.apps.lcp_spheres import LCPSpheresConfig, LCPSpheresSim
+    from mundy_tpu.mobility import local_drag_mobility
+    from mundy_tpu.ops.segments import segment_windows
+
+    box = (n * (4 / 3) * math.pi * 0.125 / 0.05) ** (1 / 3)
+    c = LCPSpheresConfig(num_spheres=n, box_size=float(box), radius=0.5,
+                         dt=1e-3, diffusion_coeff=0.1)
+    sim = LCPSpheresSim(c)
+    state = sim.init()
+    print(f"n={n} pair_capacity={sim.pair_capacity} act_capacity={sim.act_capacity} "
+          f"act_window={sim.act_window} seg_window={sim.seg_window}")
+    t0 = time.perf_counter()
+    state = sim.run_block(state, 30)  # settle to steady state
+    fence(state.pos)
+    rb0 = int(state.rebuild_count)
+    print(f"30-step settle: {time.perf_counter()-t0:.1f} s "
+          f"iters_max={int(state.lcp_iters_max)} act={int(state.act_count)} "
+          f"ovf={bool(state.overflow)} rebuilds={rb0}", flush=True)
+    t0 = time.perf_counter()
+    state = sim.run_block(state, 30)
+    fence(state.pos)
+    print(f"steady 30 steps: {time.perf_counter()-t0:.1f} s  "
+          f"rebuilds={int(state.rebuild_count) - rb0}/30  "
+          f"iters={int(state.lcp_iters)}", flush=True)
+    print(f"act_capacity now {sim.act_capacity} window {sim.act_window}",
+          flush=True)
+
+    pos = state.pos
+    pairs = state.pairs
+    radius = jnp.asarray(c.radius, sim.dtype)
+    dtype = sim.dtype
+
+    # --- step-level parts ---
+    setup_full, _ = timeit(
+        jax.jit(lambda p: collision_setup_spheres(p, radius, pairs,
+                                                  metric=sim.metric)),
+        pos, tag="setup_full (sep/normals over C)")
+
+    margin = sim._dyn_margin(setup_full)
+    compact = jax.jit(lambda sf: active_pair_subset(
+        sf, sim._dyn_margin(sf), sim.act_capacity, n))
+    (setup_act, sel, n_act, ovf), _ = timeit(compact, setup_full,
+                                             tag="active_pair_subset")
+    print(f"   n_act={int(n_act)} of C={sim.pair_capacity}")
+
+    win = jax.jit(lambda s: segment_windows(s.pairs.i, n, sim.seg_block,
+                                            sim.act_window))
+    windows, _ = timeit(win, setup_act, tag="segment_windows (active)")
+    # jit outputs turn the NamedTuple's static ints into arrays; rebuild
+    # with python ints so downstream jit sees static block/window sizes
+    from mundy_tpu.ops.segments import SegmentWindows
+    windows = SegmentWindows(starts=windows.starts,
+                             block_bodies=sim.seg_block,
+                             window=sim.act_window,
+                             overflow=windows.overflow)
+    setup_act = setup_act._replace(windows=windows)
+
+    gamma = jnp.where(setup_act.pairs.mask,
+                      jnp.abs(jax.random.normal(jax.random.PRNGKey(0),
+                                                setup_act.sep0.shape,
+                                                dtype)), 0.0)
+
+    # --- per-iteration parts, on-device loops ---
+    loop_time(lambda g: 0.999 * g + 0.001 * jnp.mean(
+        collision_forces(setup_act, g, n)), 32, "collision_forces (D gamma)", gamma)
+
+    mob = sim._mobility(pos, state.hydro_nmat)[0]
+    f0 = collision_forces(setup_act, gamma, n)
+    loop_time(lambda f: 0.999 * f + 0.001 * jnp.mean(mob(f)), 32,
+              "mobility (local drag)", f0)
+    u0 = mob(f0)
+    loop_time(lambda u: 0.999 * u + 0.001 * jnp.mean(
+        _sep_rate(setup_act, u)), 32, "_sep_rate (J^T U)", u0)
+
+    dt_s = jnp.asarray(c.dt, dtype)
+
+    def apply_A(g):
+        f = collision_forces(setup_act, g, n)
+        u = mob(f)
+        return dt_s * _sep_rate(setup_act, u)
+
+    loop_time(lambda g: 0.999 * g + 0.001 * apply_A(g), 32,
+              "apply_A (full Delassus)", gamma)
+
+    # solver-iteration overhead: dots + residual + projections
+    def iter_overhead(g):
+        gg = jnp.where(setup_act.pairs.mask, g, 0.0)
+        d1 = jnp.sum(gg * gg)
+        d2 = jnp.sum(gg * (gg + 1))
+        d3 = jnp.sum((gg + 1) ** 2)
+        r = jnp.max(jnp.where(setup_act.pairs.mask, jnp.abs(gg), 0.0))
+        return 0.999 * g + 0.001 * (d1 + d2 + d3 + r)
+
+    loop_time(iter_overhead, 32, "iteration dots+residual", gamma)
+
+    # full inner step
+    loop_time(lambda s: sim._inner_step(s), 8, "full _inner_step", state)
+
+    # rebuild (broad phase + gamma remap) and its decomposition
+    timeit(jax.jit(sim._rebuild), state, iters=3, tag="_rebuild (broad+remap)")
+
+    from mundy_tpu.constraints.collision import remap_gamma
+    from mundy_tpu.neighbor import build_pair_list_ordered, neighbor_matrix_rows
+
+    c = sim.config
+    rows_fn = jax.jit(lambda p: neighbor_matrix_rows(
+        p, float(sim.search_radius), (c.box_size,) * 3,
+        max_neighbors=min(c.max_neighbors, sim.rows_k),
+        capacity_slack=sim.rows_slack))
+    nmat, _ = timeit(rows_fn, pos, iters=3, tag="  neighbor_matrix_rows")
+    plist_fn = jax.jit(lambda nm: build_pair_list_ordered(nm, sim.pair_capacity))
+    new_pairs, _ = timeit(plist_fn, nmat, iters=3, tag="  build_pair_list_ordered")
+    timeit(jax.jit(lambda pi: segment_windows(pi, n, sim.seg_block,
+                                              sim.seg_window)),
+           new_pairs.i, iters=3, tag="  segment_windows (full)")
+    gfull = jnp.zeros((sim.pair_capacity,), sim.dtype)
+    timeit(jax.jit(lambda g: remap_gamma(state.pairs, g, new_pairs,
+                                         probes=sim._pair_run_bound())),
+           gfull, iters=3, tag="  remap_gamma")
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    main(n)

@@ -51,8 +51,19 @@ class CollisionSetup(NamedTuple):
     windows: Optional[object] = None  # SegmentWindows for the ordered layout
 
 
+def body_pair_starts(nmat) -> Array:
+    """(N+1,) int32 exclusive-cumulative per-body pair counts of an
+    (N, K) neighbor matrix — the flat position of each body's run in the
+    ordered pair list build_pair_list_ordered compacts from it (row-major
+    compaction preserves per-body contiguity). One mask-sum + cumsum:
+    ~1 ms at 1M, vs the 1.2 s a searchsorted over two 1M-slot id arrays
+    costs on v5e (XLA lowers it to a serial 21-probe gather chain)."""
+    counts = jnp.sum(nmat.mask, axis=1, dtype=jnp.int32)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+
+
 def remap_gamma(old_pairs: PairList, old_gamma: Array, new_pairs: PairList,
-                probes: int) -> Array:
+                probes: int, old_starts: Optional[Array] = None) -> Array:
     """Carry warm-start multipliers across a pair-list rebuild BY PAIR
     IDENTITY (i, j), not by slot.
 
@@ -60,19 +71,29 @@ def remap_gamma(old_pairs: PairList, old_gamma: Array, new_pairs: PairList,
     passing gamma through by slot scrambles the warm start exactly on the
     expensive (post-rebuild) steps. Both lists are sorted by i with padded
     slots at i = N (build_pair_list_ordered), so each new pair finds its
-    old slot with one vectorized searchsorted (start of the old i-run) plus
-    `probes` j-comparisons (`probes` >= the broad phase's max neighbors per
-    body bounds the run length). Unmatched (fresh) pairs start at 0.
+    old slot at the start of the old i-run plus `probes` j-comparisons
+    (`probes` >= the broad phase's max neighbors per body bounds the run
+    length). Unmatched (fresh) pairs start at 0.
+
+    `old_starts` ((N+1,) from body_pair_starts on the OLD neighbor matrix)
+    locates the runs with one gather; without it a vectorized searchsorted
+    is used (fine for small/CPU lists, 1.2 s at 1M on v5e).
 
     Values may carry trailing dims (e.g. (C, 3) tangential-displacement
     history for frictional DEM) — matched slots copy whole rows.
     """
     c_old = old_pairs.i.shape[0]
-    n_mark = jnp.maximum(jnp.max(old_pairs.i), jnp.max(new_pairs.i)) + 1
-    # padded slots must sort to the END regardless of the builder's pad
-    # convention (build_pair_list pads i with 0, *_ordered with N)
-    old_i = jnp.where(old_pairs.mask, old_pairs.i, n_mark)
-    start = jnp.searchsorted(old_i, new_pairs.i).astype(jnp.int32)
+    if old_starts is not None:
+        n = old_starts.shape[0] - 1
+        safe_i = jnp.minimum(new_pairs.i, n - 1)
+        start = jnp.where(new_pairs.i < n, old_starts[safe_i],
+                          c_old).astype(jnp.int32)
+    else:
+        n_mark = jnp.maximum(jnp.max(old_pairs.i), jnp.max(new_pairs.i)) + 1
+        # padded slots must sort to the END regardless of the builder's pad
+        # convention (build_pair_list pads i with 0, *_ordered with N)
+        old_i = jnp.where(old_pairs.mask, old_pairs.i, n_mark)
+        start = jnp.searchsorted(old_i, new_pairs.i).astype(jnp.int32)
     out = jnp.zeros(new_pairs.i.shape + old_gamma.shape[1:], old_gamma.dtype)
     for t in range(probes):
         idx = jnp.minimum(start + t, c_old - 1)
@@ -85,7 +106,8 @@ def remap_gamma(old_pairs: PairList, old_gamma: Array, new_pairs: PairList,
 
 
 def active_pair_subset(setup: CollisionSetup, margin, capacity: int,
-                       n_bodies: int):
+                       n_bodies: int, seg_starts: Optional[Array] = None,
+                       block_bodies: int = 0, window: int = 0):
     """Per-step active-set compaction: the near-contact subset
     (sep0 < margin) of a full skin-buffered constraint list.
 
@@ -106,10 +128,19 @@ def active_pair_subset(setup: CollisionSetup, margin, capacity: int,
     preserved either way, so the blocked segment machinery applies
     directly.
 
-    Returns (setup_act (windows=None), sel, n_act, overflow): `sel`
-    (capacity,) int32 maps active slot -> full-list slot, padded past
-    n_act with C (the full capacity — never a real slot when the full
-    list itself has headroom); overflow = n_act > capacity.
+    Returns (setup_act, sel, n_act, overflow): `sel` (capacity,) int32 maps
+    active slot -> full-list slot, padded past n_act with C (the full
+    capacity — never a real slot when the full list itself has headroom);
+    overflow = n_act > capacity.
+
+    With `seg_starts` (the FULL list's per-block window starts, from
+    segment_windows at rebuild) plus `block_bodies`/`window`, the active
+    list's SegmentWindows are derived from the compaction cumsum itself
+    (active window start of block b = number of active pairs before the
+    full list's block start) and attached to the returned setup. This
+    replaces a per-step searchsorted over the active ids that XLA lowers
+    to a serial probe chain (measured 28-40 ms at 1M bodies vs ~0 for the
+    977-element gather here).
     """
     pairs = setup.pairs
     c_full = pairs.i.shape[0]
@@ -130,7 +161,20 @@ def active_pair_subset(setup: CollisionSetup, margin, capacity: int,
     as0 = jnp.where(valid, setup.sep0[sel_c], 1.0)
     apairs = PairList(i=ai, j=aj, mask=valid, num_pairs=n_act,
                       overflow=n_act > capacity)
-    return (CollisionSetup(pairs=apairs, normals=an, sep0=as0),
+    windows = None
+    if seg_starts is not None:
+        from mundy_tpu.ops.segments import SegmentWindows
+        n_act_c = jnp.minimum(n_act, capacity)
+        astarts = jnp.where(
+            seg_starts > 0,
+            jnp.minimum(cum[jnp.maximum(seg_starts - 1, 0)], n_act_c),
+            0).astype(jnp.int32)
+        counts = jnp.diff(jnp.append(astarts, n_act_c))
+        windows = SegmentWindows(starts=astarts, block_bodies=block_bodies,
+                                 window=window,
+                                 overflow=jnp.any(counts > window))
+    return (CollisionSetup(pairs=apairs, normals=an, sep0=as0,
+                           windows=windows),
             jnp.where(valid, sel, c_full), n_act, n_act > capacity)
 
 
@@ -244,6 +288,7 @@ def resolve_collisions(
     gamma0: Optional[Array] = None,
     axis_names=None,
     u_ext: Optional[Array] = None,
+    alpha0: Optional[Array] = None,
 ) -> tuple[Array, Array, SolveResult]:
     """Solve for contact impulses gamma; returns (gamma, velocities, result).
 
@@ -279,7 +324,8 @@ def resolve_collisions(
         residual="projected_gradient",
         axis_names=axis_names,
     )
-    res = solve_lcp(apply_A, q, x0=gamma0, config=cfg, mask=setup.pairs.mask)
+    res = solve_lcp(apply_A, q, x0=gamma0, config=cfg, mask=setup.pairs.mask,
+                    alpha0=alpha0)
     gamma = res.x
     vel = mobility_apply(collision_forces(setup, gamma, n_bodies))
     return gamma, vel, res

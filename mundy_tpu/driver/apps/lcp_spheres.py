@@ -134,7 +134,9 @@ class LCPSpheresState:
     lcp_iters: Array  # () int32 — last solve iterations
     lcp_iters_max: Array  # () int32 — max iterations since last reset
     lcp_residual: Array
+    lcp_alpha: Array  # () last solve's final BB step (next solve's alpha0)
     act_count: Array  # () int32 — last step's active-pair count
+    act_block_max: Array  # () int32 — last step's max active pairs per block
     overflow: Array
 
 
@@ -328,7 +330,9 @@ class LCPSpheresSim:
             lcp_iters=jnp.asarray(0, jnp.int32),
             lcp_iters_max=jnp.asarray(0, jnp.int32),
             lcp_residual=jnp.asarray(0.0, self.dtype),
+            lcp_alpha=jnp.asarray(jnp.nan, self.dtype),
             act_count=jnp.asarray(n_act, jnp.int32),
+            act_block_max=jnp.asarray(int(blk.max()), jnp.int32),
             overflow=ovf,
         )
 
@@ -344,8 +348,10 @@ class LCPSpheresSim:
         gfull_old = gfull_old.at[state.gamma_sel].set(
             jnp.where(state.gamma_sel < self.pair_capacity, state.gamma, 0.0),
             mode="drop")
+        from mundy_tpu.constraints.collision import body_pair_starts
         gamma_full = remap_gamma(state.pairs, gfull_old, pairs,
-                                 probes=self._pair_run_bound())
+                                 probes=self._pair_run_bound(),
+                                 old_starts=body_pair_starts(state.nmat))
         return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
                              seg_starts=seg_starts,
                              gamma=jnp.zeros_like(state.gamma),
@@ -436,15 +442,15 @@ class LCPSpheresSim:
         # resolved: a cold start activates (nearly) the whole list, so the
         # truncated solve equals the full solve; steady state shrinks to
         # the near-contact set (traced scalar: no recompiles).
+        # ordered-pair assembly on the active list: one blocked segmented
+        # reduction per D-apply (ops/segments.py; 6x over scatter at 1M).
+        # Active windows are derived from the compaction cumsum + the full
+        # list's seg_starts (a per-step searchsorted here cost 28-40 ms).
         setup, sel, n_act, act_ovf = active_pair_subset(
             setup_full, self._dyn_margin(setup_full),
-            self.act_capacity, c.num_spheres)
-        # ordered-pair assembly on the active list: one blocked segmented
-        # reduction per D-apply (ops/segments.py; 6x over scatter at 1M)
-        windows = segment_windows(setup.pairs.i, c.num_spheres,
-                                  self.seg_block, self.act_window)
-        setup = setup._replace(windows=windows)
-        overflow = overflow | act_ovf | windows.overflow
+            self.act_capacity, c.num_spheres, seg_starts=state.seg_starts,
+            block_bodies=self.seg_block, window=self.act_window)
+        overflow = overflow | act_ovf | setup.windows.overflow
 
         mobility, hydro_ovf = self._mobility(pos, state.hydro_nmat)
         overflow = overflow | hydro_ovf
@@ -486,18 +492,23 @@ class LCPSpheresSim:
             max_iterations=c.max_col_iterations,
             gamma0=gamma0,
             u_ext=u_ext,
+            alpha0=state.lcp_alpha,
         )
 
         if u_ext is not None:
             vel = vel + u_ext
 
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
+        n_act_c = jnp.minimum(n_act, self.act_capacity)
+        block_max = jnp.max(jnp.diff(jnp.append(setup.windows.starts,
+                                                n_act_c)))
         return state.replace(
             pos=new_pos, gamma=gamma, gamma_sel=sel, step=state.step + 1,
             lcp_iters=res.num_iters,
             lcp_iters_max=jnp.maximum(state.lcp_iters_max, res.num_iters),
-            lcp_residual=res.residual,
-            act_count=n_act, overflow=overflow,
+            lcp_residual=res.residual, lcp_alpha=res.alpha,
+            act_count=n_act, act_block_max=block_max.astype(jnp.int32),
+            overflow=overflow,
         )
 
     def _step(self, state: LCPSpheresState) -> LCPSpheresState:
@@ -583,15 +594,21 @@ class LCPSpheresSim:
         slots at 100k bodies)."""
         n_act = int(jax.device_get(state.act_count))
         target = _pow2(int(n_act * 1.4) + 1024)
-        if target == self.act_capacity:
+        # refit the assembly window too: every BBPGD iteration's one-hot
+        # blocks are (seg_block, act_window), so a cold-start-sized window
+        # (~2x the steady-state block max) is paid per iteration
+        blk_max = int(jax.device_get(state.act_block_max))
+        target_w = max(256, (int(blk_max * 1.5) + 255) // 256 * 256)
+        if target == self.act_capacity and target_w == self.act_window:
             self._act_shrink_streak = 0
             return state
-        if target < self.act_capacity:
+        if target <= self.act_capacity and target_w <= self.act_window:
             streak = getattr(self, "_act_shrink_streak", 0)
             if streak < 1:
                 self._act_shrink_streak = streak + 1
                 return state
         self._act_shrink_streak = 0
+        self.act_window = target_w
         m = min(self.act_capacity, target)
         # active slots are front-packed ([0, n_act) valid), so a prefix
         # copy preserves every live multiplier when m >= n_act
@@ -632,7 +649,9 @@ class LCPSpheresSim:
         gfull_old = gfull_old.at[state.gamma_sel].set(
             jnp.where(state.gamma_sel < old_pair_capacity, state.gamma, 0.0),
             mode="drop")
-        gamma_full = remap_gamma(state.pairs, gfull_old, pairs, probes=probes)
+        from mundy_tpu.constraints.collision import body_pair_starts
+        gamma_full = remap_gamma(state.pairs, gfull_old, pairs, probes=probes,
+                                 old_starts=body_pair_starts(state.nmat))
         return state.replace(
             nmat=nmat, pairs=pairs, hydro_nmat=hmat,
             seg_starts=seg_starts,

@@ -78,12 +78,16 @@ class PGDConfig:
 
 
 class SolveResult(NamedTuple):
-    """Mirrors `SolveResult` (`convex.hpp:528-541`)."""
+    """Mirrors `SolveResult` (`convex.hpp:528-541`). `alpha` is the final
+    BB step size — a converged curvature estimate that callers stepping a
+    slowly-varying problem (per-timestep collision solves) can feed back as
+    the next solve's `alpha0` to skip the 1/res0 cold-start step."""
 
     x: Array
     num_iters: Array
     residual: Array
     converged: Array
+    alpha: Array = jnp.nan
 
 
 def _psum(v, cfg: PGDConfig):
@@ -129,6 +133,7 @@ def solve_cqpp(
     x0: Optional[Array] = None,
     config: PGDConfig = PGDConfig(),
     mask: Optional[Array] = None,
+    alpha0: Optional[Array] = None,
 ) -> SolveResult:
     """Minimize 1/2 xᵀAx + qᵀx over the separable box `space`, matrix-free.
 
@@ -153,7 +158,17 @@ def solve_cqpp(
 
     g0 = masked(apply_A(x0) + q)
     res0 = _residual(x0, g0, space, config, mask)
-    alpha0 = jnp.asarray(1.0, dtype) / jnp.maximum(res0, jnp.asarray(config.tol, dtype))
+    # first step size: 1/res0 (Dai & Fletcher 2005 §5, StkNgpLCP.cpp:776)
+    # unless the caller passes a previous solve's converged BB step — after
+    # a warm start res0 is small, so 1/res0 over-steps by orders of
+    # magnitude and burns iterations recovering
+    alpha_init = (jnp.asarray(1.0, dtype)
+                  / jnp.maximum(res0, jnp.asarray(config.tol, dtype)))
+    if alpha0 is not None:
+        a0 = jnp.asarray(alpha0, dtype)
+        good = jnp.logical_and(jnp.isfinite(a0), a0 > 0.0)
+        alpha_init = jnp.where(good, jnp.minimum(a0, alpha_init), alpha_init)
+    alpha0 = alpha_init
 
     tiny = jnp.asarray(1e-12, dtype)
 
@@ -209,8 +224,9 @@ def solve_cqpp(
         return (x_new, g_new, alpha_new, it + 1, res, stalled)
 
     init = (x0, g0, alpha0, jnp.asarray(0, jnp.int32), res0, jnp.asarray(False))
-    x, _g, _alpha, iters, res, _stalled = jax.lax.while_loop(cond, body, init)
-    return SolveResult(x=x, num_iters=iters, residual=res, converged=res < config.tol)
+    x, _g, alpha, iters, res, _stalled = jax.lax.while_loop(cond, body, init)
+    return SolveResult(x=x, num_iters=iters, residual=res,
+                       converged=res < config.tol, alpha=alpha)
 
 
 def solve_lcp(
@@ -219,10 +235,12 @@ def solve_lcp(
     x0: Optional[Array] = None,
     config: PGDConfig = PGDConfig(),
     mask: Optional[Array] = None,
+    alpha0: Optional[Array] = None,
 ) -> SolveResult:
     """Solve the LCP  0 <= x  ⊥  A·x + q >= 0  as a CQPP over R₊ⁿ.
 
     Mirrors `solve_lcp`/`to_cqpp` (`convex.hpp:425,840`).
     """
     space = lower_bound(jnp.zeros_like(q))
-    return solve_cqpp(apply_A, q, space, x0=x0, config=config, mask=mask)
+    return solve_cqpp(apply_A, q, space, x0=x0, config=config, mask=mask,
+                      alpha0=alpha0)

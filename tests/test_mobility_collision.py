@@ -258,3 +258,65 @@ def test_active_pair_subset_matches_mask(rng):
                     == np.asarray(pairs.i)[want]).all()
         else:
             assert bool(ovf)
+
+
+def test_remap_gamma_with_body_starts_matches_searchsorted(rng):
+    """The one-gather run-start path (body_pair_starts on the old neighbor
+    matrix) must reproduce the searchsorted remap exactly — it replaces a
+    1.2 s searchsorted at 1M slots on v5e."""
+    from mundy_tpu.constraints.collision import body_pair_starts, remap_gamma
+    from mundy_tpu.neighbor import NeighborMatrix, build_pair_list_ordered
+
+    n, k = 40, 6
+
+    def random_nmat():
+        idx = rng.integers(0, n, (n, k)).astype(np.int32)
+        cnt = rng.integers(0, k + 1, n)
+        mask = np.arange(k)[None, :] < cnt[:, None]  # front-packed
+        return NeighborMatrix(idx=jnp.asarray(np.where(mask, idx, n)),
+                              mask=jnp.asarray(mask),
+                              overflow=jnp.asarray(False))
+
+    old_nmat, new_nmat = random_nmat(), random_nmat()
+    old = build_pair_list_ordered(old_nmat, 256)
+    new = build_pair_list_ordered(new_nmat, 256)
+    gamma_old = jnp.asarray(rng.uniform(0, 5, 256), jnp.float64)
+
+    ref = np.asarray(remap_gamma(old, gamma_old, new, probes=k))
+    got = np.asarray(remap_gamma(old, gamma_old, new, probes=k,
+                                 old_starts=body_pair_starts(old_nmat)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_active_pair_subset_derived_windows(rng):
+    """Windows derived from the compaction cumsum + the full list's
+    seg_starts must match segment_windows run on the active ids."""
+    from mundy_tpu.constraints.collision import active_pair_subset
+    from mundy_tpu.constraints import collision_setup_spheres
+    from mundy_tpu.ops.segments import segment_windows
+
+    n, c_full, block = 200, 256, 32
+    pos = jnp.asarray(rng.uniform(0, 10, (n, 3)))
+    # front-packed full list (the build_pair_list_ordered invariant the
+    # derivation relies on): valid i-sorted pairs first, pads at the tail
+    n_valid = 200
+    i = np.sort(rng.integers(0, n, n_valid)).astype(np.int32)
+    j = rng.integers(0, n, n_valid).astype(np.int32)
+    pad = np.full(c_full - n_valid, n, np.int32)
+    mask = np.arange(c_full) < n_valid
+    pairs = PairList(i=jnp.asarray(np.concatenate([i, pad])),
+                     j=jnp.asarray(np.concatenate([j, pad])),
+                     mask=jnp.asarray(mask),
+                     num_pairs=jnp.asarray(n_valid),
+                     overflow=jnp.asarray(False))
+    setup = collision_setup_spheres(pos, jnp.asarray(0.5), pairs)
+    full_windows = segment_windows(
+        jnp.where(pairs.mask, pairs.i, n), n, block, window=64)
+    cap = c_full
+    sub, sel, n_act, ovf = active_pair_subset(
+        setup, jnp.asarray(2.0), cap, n,
+        seg_starts=full_windows.starts, block_bodies=block, window=16)
+    ref = segment_windows(sub.pairs.i, n, block, window=16)
+    np.testing.assert_array_equal(np.asarray(sub.windows.starts),
+                                  np.asarray(ref.starts))
+    assert bool(sub.windows.overflow) == bool(ref.overflow)

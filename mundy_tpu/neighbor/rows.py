@@ -891,6 +891,28 @@ def pair_accumulate_segments(
                  for ov in outs)
 
 
+def _unsort_rows_to_gid(vals_flat: Array, state: RowState, n: int) -> Array:
+    """(slots, K) per-row-slot values -> (N, K) in gid order.
+
+    A direct `.at[gid].set(vals)` scatter of K-wide rows costs ~80 ns/row
+    (155 ms at 1M, K=12, slots=1.9M on v5e); building the gid->slot inverse
+    permutation with a single-int scatter and then row-GATHERING the values
+    is ~10x cheaper (scatters are the worst TPU primitive; gathers cost
+    ~4-9 ns/row regardless of width). Bodies dropped by row overflow (no
+    slot) get the padded all-`n` row; the caller's overflow flag covers
+    them."""
+    slots = vals_flat.shape[0]
+    k = vals_flat.shape[1]
+    flat_gid = state.gid.reshape(-1)
+    flat_valid = state.valid.reshape(-1)
+    tgt = jnp.where(flat_valid, flat_gid, n)
+    slot_of = jnp.full((n + 1,), slots, jnp.int32).at[tgt].set(
+        jnp.arange(slots, dtype=jnp.int32), mode="drop")[:n]
+    vals_pad = jnp.concatenate(
+        [vals_flat, jnp.full((1, k), n, vals_flat.dtype)], axis=0)
+    return vals_pad[jnp.minimum(slot_of, slots)]
+
+
 def neighbor_matrix_rows(
     pos: Array,
     search_radius: float,
@@ -964,11 +986,7 @@ def neighbor_matrix_rows(
         from mundy_tpu.ops.pallas.row_extract import row_neighbor_extract
         ids4, cnt = row_neighbor_extract(state.pos, state.gid, lengths,
                                          cutoff, k_out)
-        flat_gid = state.gid.reshape(-1)
-        flat_valid = state.valid.reshape(-1)
-        tgt = jnp.where(flat_valid, flat_gid, n)
-        idx = jnp.full((n, k_out), n, jnp.int32).at[tgt].set(
-            ids4.reshape(-1, k_out), mode="drop")
+        idx = _unsort_rows_to_gid(ids4.reshape(-1, k_out), state, n)
         idx = jnp.where(idx < 0, n, idx)
         mask = idx < n
         overflow = state.overflow | jnp.any(
@@ -1067,14 +1085,9 @@ def neighbor_matrix_rows(
         msk = msk.reshape((ny_pad, nz, R, k_out))[:ny]
         count = count.reshape((ny_pad, nz, R))[:ny]
 
-    # scatter row slots back to flat gid order
-    flat_gid = state.gid.reshape(-1)
-    flat_valid = state.valid.reshape(-1)
-    tgt = jnp.where(flat_valid, flat_gid, n)
-    idx = jnp.full((n, k_out), n, jnp.int32).at[tgt].set(
-        ids.reshape(-1, k_out), mode="drop")
-    mask = jnp.zeros((n, k_out), bool).at[tgt].set(
-        msk.reshape(-1, k_out), mode="drop")
+    # row slots back to flat gid order (inverse permutation + row gather)
+    idx = _unsort_rows_to_gid(ids.reshape(-1, k_out), state, n)
+    mask = idx < n
     overflow = state.overflow | jnp.any(count > k_out)
     return NeighborMatrix(idx=idx, mask=mask, overflow=overflow)
 

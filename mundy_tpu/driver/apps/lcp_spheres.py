@@ -249,8 +249,10 @@ class LCPSpheresSim:
             )
             clist_ovf = clist.overflow
         pairs = build_pair_list_ordered(nmat, self.pair_capacity)
+        from mundy_tpu.constraints.collision import body_pair_starts
         seg = segment_windows(pairs.i, c.num_spheres, self.seg_block,
-                              self.seg_window)
+                              self.seg_window,
+                              body_starts=body_pair_starts(nmat))
         ovf = clist_ovf | nmat.overflow | pairs.overflow | seg.overflow
         if self.ewald is not None:
             hcl = build_cell_list(pos, self.hydro_grid, 4 * c.cell_capacity)
@@ -288,10 +290,22 @@ class LCPSpheresSim:
         # shrink to 1.6x that (+margin); the sticky overflow flag catches
         # configs that densify later.
         count = int(jax.device_get(pairs.num_pairs))  # true count (may exceed capacity)
-        tight = int(count * 1.6) + 512
+        tight = int(count * 1.3) + 512
         tight = ((tight + 1023) // 1024) * 1024
         resize = tight != self.pair_capacity
         self.pair_capacity = tight
+        # Right-size the rows broad phase's K: the Pallas extraction runs K
+        # argmin passes over the full candidate blocks (~20 ms each at 1M),
+        # so K = 12 when the densest body has 6 in-cutoff neighbors pays
+        # ~5 wasted passes per rebuild. Regrow re-widens K on overflow.
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        if n_cells >= 5 and not bool(jax.device_get(nmat.overflow)):
+            kmax = int(jax.device_get(
+                jnp.max(jnp.sum(nmat.mask, axis=1, dtype=jnp.int32))))
+            k_tight = max(4, -(-(kmax + 1) // 4) * 4)
+            if k_tight < min(c.max_neighbors, self.rows_k):
+                self.rows_k = k_tight
+                resize = True
         if resize:  # windows need the un-truncated pair list
             nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
         # Right-size the assembly window from the measured per-block maximum
@@ -309,7 +323,7 @@ class LCPSpheresSim:
                                          metric=self.metric)
         act = pairs.mask & (setup0.sep0 < self._dyn_margin(setup0))
         n_act = int(jax.device_get(jnp.sum(act)))
-        self.act_capacity = _pow2(int(n_act * 1.4) + 1024)
+        self.act_capacity = _pow2(int(n_act * 1.2) + 1024)
         act_i = np.asarray(jax.device_get(jnp.where(act, pairs.i,
                                                     c.num_spheres)))
         blk = np.bincount(act_i[act_i < c.num_spheres] // self.seg_block,
@@ -351,7 +365,8 @@ class LCPSpheresSim:
         from mundy_tpu.constraints.collision import body_pair_starts
         gamma_full = remap_gamma(state.pairs, gfull_old, pairs,
                                  probes=self._pair_run_bound(),
-                                 old_starts=body_pair_starts(state.nmat))
+                                 old_starts=body_pair_starts(state.nmat),
+                                 old_nmat=state.nmat)
         return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
                              seg_starts=seg_starts,
                              gamma=jnp.zeros_like(state.gamma),
@@ -593,7 +608,7 @@ class LCPSpheresSim:
         every BBPGD iteration then pays for (measured: 41k active in 131k
         slots at 100k bodies)."""
         n_act = int(jax.device_get(state.act_count))
-        target = _pow2(int(n_act * 1.4) + 1024)
+        target = _pow2(int(n_act * 1.2) + 1024)
         # refit the assembly window too: every BBPGD iteration's one-hot
         # blocks are (seg_block, act_window), so a cold-start-sized window
         # (~2x the steady-state block max) is paid per iteration
@@ -651,7 +666,8 @@ class LCPSpheresSim:
             mode="drop")
         from mundy_tpu.constraints.collision import body_pair_starts
         gamma_full = remap_gamma(state.pairs, gfull_old, pairs, probes=probes,
-                                 old_starts=body_pair_starts(state.nmat))
+                                 old_starts=body_pair_starts(state.nmat),
+                                 old_nmat=state.nmat)
         return state.replace(
             nmat=nmat, pairs=pairs, hydro_nmat=hmat,
             seg_starts=seg_starts,

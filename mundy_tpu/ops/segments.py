@@ -19,7 +19,7 @@ TPU-native equivalent).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,15 +41,28 @@ class SegmentWindows(NamedTuple):
 
 
 def segment_windows(ids: Array, n_segments: int, block_bodies: int,
-                    window: int) -> SegmentWindows:
-    """Build the block windows for sorted `ids` (padded tail >= n_segments)."""
+                    window: int, body_starts: Optional[Array] = None
+                    ) -> SegmentWindows:
+    """Build the block windows for sorted `ids` (padded tail >= n_segments).
+
+    `body_starts` ((n_segments+1,) exclusive-cumulative per-body counts,
+    e.g. body_pair_starts on the neighbor matrix the list was compacted
+    from) replaces the searchsorted — which XLA lowers to a serial
+    ~20-probe gather chain costing 28 ms at 1M slots on v5e — with one
+    (nb+1,)-row gather."""
     B, W = block_bodies, window
     nb = -(-n_segments // B)
     # pads carry id == n_segments: clip the edges so the trailing pad run
     # never counts into the last block's occupancy
     edges = jnp.minimum(jnp.arange(0, nb * B + 1, B, dtype=jnp.int32),
                         n_segments)
-    bounds = jnp.searchsorted(ids, edges).astype(jnp.int32)
+    if body_starts is not None:
+        # clamp to the (possibly truncated) list length so overflowed
+        # configs keep windows consistent with the stored slots
+        bounds = jnp.minimum(body_starts[edges],
+                             ids.shape[0]).astype(jnp.int32)
+    else:
+        bounds = jnp.searchsorted(ids, edges).astype(jnp.int32)
     counts = bounds[1:] - bounds[:-1]
     return SegmentWindows(starts=bounds[:-1], block_bodies=B, window=W,
                           overflow=jnp.any(counts > W))

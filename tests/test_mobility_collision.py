@@ -287,6 +287,19 @@ def test_remap_gamma_with_body_starts_matches_searchsorted(rng):
                                  old_starts=body_pair_starts(old_nmat)))
     np.testing.assert_array_equal(got, ref)
 
+    # the nmat row-match fast path (replaces the 1.13 s probing loop at 1M)
+    # must agree exactly, including trailing value dims
+    fast = np.asarray(remap_gamma(old, gamma_old, new, probes=k,
+                                  old_starts=body_pair_starts(old_nmat),
+                                  old_nmat=old_nmat))
+    np.testing.assert_array_equal(fast, ref)
+    gv = jnp.stack([gamma_old, 2 * gamma_old], axis=-1)
+    ref_v = np.asarray(remap_gamma(old, gv, new, probes=k))
+    fast_v = np.asarray(remap_gamma(old, gv, new, probes=k,
+                                    old_starts=body_pair_starts(old_nmat),
+                                    old_nmat=old_nmat))
+    np.testing.assert_array_equal(fast_v, ref_v)
+
 
 def test_active_pair_subset_derived_windows(rng):
     """Windows derived from the compaction cumsum + the full list's

@@ -46,6 +46,27 @@ def test_f32_bf16_split_accuracy(rng):
                                atol=5e-5 * scale)
 
 
+def test_windows_from_body_starts_match_searchsorted(rng):
+    """The body-starts gather path (one (nb+1,)-row gather, replacing a
+    28 ms serial searchsorted at 1M on v5e) must reproduce the windows
+    exactly — including with a truncated (overflowed) list."""
+    n, B, W, cap = 1000, 64, 256, 2048
+    counts = rng.poisson(1.3, n)
+    body_starts = jnp.asarray(
+        np.concatenate([[0], np.cumsum(counts)]), jnp.int32)
+    ids = np.repeat(np.arange(n), counts)
+    for capacity in (cap, int(ids.size * 0.7)):  # full + truncated
+        idc = np.sort(ids)[:capacity]
+        idc = np.pad(idc, (0, max(0, capacity - idc.size)),
+                     constant_values=n)
+        idj = jnp.asarray(idc, jnp.int32)
+        ref = segment_windows(idj, n, B, W)
+        got = segment_windows(idj, n, B, W, body_starts=body_starts)
+        np.testing.assert_array_equal(np.asarray(got.starts),
+                                      np.asarray(ref.starts))
+        assert bool(got.overflow) == bool(ref.overflow)
+
+
 def test_window_overflow_flags(rng):
     n, B, cap = 256, 32, 1024
     # everything piled on body 0: one block holds all pairs

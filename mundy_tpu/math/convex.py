@@ -170,15 +170,13 @@ def solve_cqpp(
         alpha_init = jnp.where(good, jnp.minimum(a0, alpha_init), alpha_init)
     alpha0 = alpha_init
 
-    tiny = jnp.asarray(1e-12, dtype)
-
     def cond(state):
-        _x, _g, _alpha, it, res, stalled = state
+        _x, _g, _alpha, _alpha_good, it, res, stalls = state
         keep_going = jnp.logical_and(res >= config.tol, it < config.max_iters)
-        return jnp.logical_and(keep_going, jnp.logical_not(stalled))
+        return jnp.logical_and(keep_going, stalls < 2)
 
     def body(state):
-        x, g, alpha, it, _res, _stalled = state
+        x, g, alpha, alpha_good, it, _res, stalls = state
         x_new = space.project(x - alpha * g)
         if mask is not None:
             x_new = jnp.where(mask, x_new, x)
@@ -200,8 +198,14 @@ def solve_cqpp(
             b = jnp.where(even, dx_dg, dg_dg)
         else:
             raise ValueError(f"unknown bb_rule {config.bb_rule!r}")
-        b = b + tiny * (jnp.abs(b) < tiny)
-        alpha_new = a / b
+        # b == 0 exactly -> inf -> the `bad` guard keeps the previous step.
+        # Do NOT floor |b| at some tiny absolute value (the old
+        # `b + 1e-12*(|b|<1e-12)` regularization): near convergence a and b
+        # are both microscopic but their RATIO is the legitimate curvature,
+        # and an absolute floor turned it into clip-floor garbage (observed:
+        # alpha pinned at 1e-12 for 5000 iterations while a/b was 0.05).
+        b_safe = jnp.where(b == 0, jnp.asarray(1.0, dtype), b)
+        alpha_new = jnp.where(b == 0, jnp.asarray(jnp.inf, dtype), a / b_safe)
         # Guard non-positive / non-finite BB ratios (rounding noise in the
         # tail): keep the previous step size rather than poisoning the
         # iteration (reference guards only b, StkNgpLCP.cpp:862-865).
@@ -215,18 +219,35 @@ def solve_cqpp(
         res = _residual(x_new, g_new, space, config, mask)
 
         # Stall = the iterate stopped moving entirely (alpha*g below the ulp
-        # of x): no further progress is possible at this precision, so exit
-        # instead of spinning to max_iters at a frozen x. Relative to |x| so
-        # small-but-real steps near convergence don't trip it.
+        # of x, or every driven entry pinned at its bound). A stall with
+        # res >= tol can be a FALSE stall from a degraded step size (the BB
+        # ratio is noise once dx is in the rounding regime — observed as a
+        # warm-started solve exiting at res 4e-2 with alpha ~1e-12 when a
+        # converged solve's final alpha was fed back), so the first stall
+        # RESETS alpha to the cold-start 1/res rule and keeps going; only a
+        # second consecutive stall — genuinely frozen at this precision —
+        # exits. Relative to |x| so small-but-real steps don't trip it.
         eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
         x_dx = _psum(jnp.sum(x_new * x_new), config)
-        stalled = dx_dx <= (16.0 * eps * eps) * x_dx
-        return (x_new, g_new, alpha_new, it + 1, res, stalled)
+        moved = dx_dx > (16.0 * eps * eps) * x_dx
+        stalls = jnp.where(moved, 0, stalls + 1)
+        alpha_new = jnp.where(moved, alpha_new,
+                              jnp.asarray(1.0, dtype)
+                              / jnp.maximum(res, jnp.asarray(config.tol,
+                                                             dtype)))
+        # Only a step computed from genuine movement is a trustworthy
+        # curvature estimate — the returned alpha (callers feed it back as
+        # the next warm solve's alpha0) must never be tail noise.
+        alpha_good = jnp.where(jnp.logical_and(moved, jnp.logical_not(bad)),
+                               alpha_new, alpha_good)
+        return (x_new, g_new, alpha_new, alpha_good, it + 1, res, stalls)
 
-    init = (x0, g0, alpha0, jnp.asarray(0, jnp.int32), res0, jnp.asarray(False))
-    x, _g, alpha, iters, res, _stalled = jax.lax.while_loop(cond, body, init)
+    init = (x0, g0, alpha0, alpha0, jnp.asarray(0, jnp.int32), res0,
+            jnp.asarray(0, jnp.int32))
+    x, _g, _alpha, alpha_good, iters, res, _stalls = jax.lax.while_loop(
+        cond, body, init)
     return SolveResult(x=x, num_iters=iters, residual=res,
-                       converged=res < config.tol, alpha=alpha)
+                       converged=res < config.tol, alpha=alpha_good)
 
 
 def solve_lcp(

@@ -92,6 +92,27 @@ def test_lcp_vmapped_per_pair(rng):
     np.testing.assert_allclose(res.x, xs, atol=1e-4)
 
 
+def test_lcp_degenerate_alpha0_still_converges(rng):
+    """A warm-started solve fed a garbage-small alpha0 (a converged solve's
+    final BB step is tail noise once dx is in the rounding regime) must NOT
+    false-stall: the first no-movement iteration resets alpha to the
+    cold-start 1/res rule and the solve runs to tolerance. Regression for a
+    0.13 trajectory divergence: the single-chip LCP app fed each solve's
+    final alpha forward and step 2 exited after 2 iterations at residual
+    3.8e-2 with gamma frozen at the (stale) warm start."""
+    A, q, x_star, _ = manufactured_lcp(rng, 10)
+    cfg = PGDConfig(max_iters=5000, tol=1e-8)
+    # near-solution warm start + degenerate alpha0: projection pins most
+    # entries, the tiny step moves nothing, stall machinery must recover
+    x0 = jnp.asarray(x_star) * (1.0 + 1e-4)
+    res = solve_lcp(lambda x: A @ x, q, x0=x0, config=cfg,
+                    alpha0=jnp.asarray(1e-12))
+    assert bool(res.converged), float(res.residual)
+    np.testing.assert_allclose(res.x, x_star, atol=1e-6)
+    # the reported alpha must be a usable curvature estimate, not tail noise
+    assert 1e-6 < float(res.alpha) < 1e6
+
+
 def test_lcp_masked_padding(rng):
     """Padded slots must not perturb the active sub-solve."""
     A, q, x_star, _ = manufactured_lcp(rng, 10)

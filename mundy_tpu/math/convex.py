@@ -75,6 +75,15 @@ class PGDConfig:
     # allreduce axis names for sharded solves (psum/pmax over the mesh);
     # None = single-device reduction semantics.
     axis_names: Optional[tuple] = static_field(default=None)
+    # Progress-based exit: stop when `patience` consecutive iterations fail
+    # to improve the best residual by at least `min_improve` (relative).
+    # BBPGD's residual floors at the dtype's rounding noise — at 1M active
+    # constraints in f32 that floor (~3e-5) can sit ABOVE a 1e-5 tol, and
+    # without this exit the solve spins to max_iters at a frozen residual
+    # (a 10000 x 20 ms single device execution gets the tunneled TPU worker
+    # killed). The solve returns the best-residual iterate seen.
+    patience: int = static_field(default=250)
+    min_improve: float = static_field(default=1e-2)
 
 
 class SolveResult(NamedTuple):
@@ -171,12 +180,15 @@ def solve_cqpp(
     alpha0 = alpha_init
 
     def cond(state):
-        _x, _g, _alpha, _alpha_good, it, res, stalls = state
+        (_x, _g, _alpha, _alpha_good, it, res, stalls,
+         _xb, _rb, since_best) = state
         keep_going = jnp.logical_and(res >= config.tol, it < config.max_iters)
-        return jnp.logical_and(keep_going, stalls < 2)
+        keep_going = jnp.logical_and(keep_going, stalls < 2)
+        return jnp.logical_and(keep_going, since_best < config.patience)
 
     def body(state):
-        x, g, alpha, alpha_good, it, _res, stalls = state
+        (x, g, alpha, alpha_good, it, _res, stalls,
+         x_best, res_best, since_best) = state
         x_new = space.project(x - alpha * g)
         if mask is not None:
             x_new = jnp.where(mask, x_new, x)
@@ -240,12 +252,29 @@ def solve_cqpp(
         # the next warm solve's alpha0) must never be tail noise.
         alpha_good = jnp.where(jnp.logical_and(moved, jnp.logical_not(bad)),
                                alpha_new, alpha_good)
-        return (x_new, g_new, alpha_new, alpha_good, it + 1, res, stalls)
+        # Patience bookkeeping: a "best" must beat the previous best by a
+        # relative margin (BBPGD is non-monotone, but a healthy solve sets
+        # meaningfully lower lows every few dozen iterations; sub-margin
+        # drift means the residual has floored at this precision). res is
+        # already pmax'd, so sharded solves make identical decisions.
+        improved = res < res_best * (1.0 - jnp.asarray(config.min_improve,
+                                                       dtype))
+        x_best = jnp.where(improved, x_new, x_best)
+        res_best = jnp.where(improved, res, res_best)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        return (x_new, g_new, alpha_new, alpha_good, it + 1, res, stalls,
+                x_best, res_best, since_best)
 
     init = (x0, g0, alpha0, alpha0, jnp.asarray(0, jnp.int32), res0,
-            jnp.asarray(0, jnp.int32))
-    x, _g, _alpha, alpha_good, iters, res, _stalls = jax.lax.while_loop(
-        cond, body, init)
+            jnp.asarray(0, jnp.int32),
+            x0, res0, jnp.asarray(0, jnp.int32))
+    (x, _g, _alpha, alpha_good, iters, res, _stalls,
+     x_best, res_best, _since) = jax.lax.while_loop(cond, body, init)
+    # On a non-converged exit the final iterate can sit on a non-monotone
+    # spike; hand back the best-residual iterate instead.
+    take_best = res_best < res
+    x = jnp.where(take_best, x_best, x)
+    res = jnp.where(take_best, res_best, res)
     return SolveResult(x=x, num_iters=iters, residual=res,
                        converged=res < config.tol, alpha=alpha_good)
 

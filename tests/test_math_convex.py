@@ -125,3 +125,33 @@ def test_lcp_masked_padding(rng):
     assert bool(res.converged)
     np.testing.assert_allclose(res.x[:10], x_star, atol=1e-5)
     np.testing.assert_allclose(res.x[10:], np.zeros(6), atol=1e-14)
+
+
+def test_lcp_patience_exit_at_residual_floor(rng):
+    """A tolerance below the dtype's achievable residual floor must exit via
+    the patience rule (no meaningful best-residual improvement for
+    `patience` iterations), NOT spin to max_iters. Regression for the 1M
+    LCP worker kill: at 1M active constraints the f32 residual floor
+    (~3e-5) sits above the 1e-5 tol, and a 10000-iteration frozen solve was
+    a single multi-minute device execution."""
+    A, q, x_star, _ = manufactured_lcp(rng, 32)
+    # f32 + unreachable tolerance -> the solve floors, patience must fire
+    A32 = jnp.asarray(A, jnp.float32)
+    q32 = jnp.asarray(q, jnp.float32)
+    cfg = PGDConfig(max_iters=10_000, tol=1e-14, patience=100)
+    res = solve_lcp(lambda x: A32 @ x, q32, config=cfg)
+    assert int(res.num_iters) < 2_000, int(res.num_iters)
+    assert not bool(res.converged)
+    # the returned iterate is still the best one found: solution-quality
+    # at the f32 floor
+    np.testing.assert_allclose(res.x, x_star, atol=1e-3)
+
+
+def test_lcp_patience_does_not_cut_converging_solves(rng):
+    """A healthy solve (reachable tolerance) must converge exactly as
+    before with the default patience."""
+    A, q, x_star, _ = manufactured_lcp(rng, 16)
+    cfg = PGDConfig(max_iters=5000, tol=1e-8)
+    res = solve_lcp(lambda x: A @ x, q, config=cfg)
+    assert bool(res.converged), float(res.residual)
+    np.testing.assert_allclose(res.x, x_star, atol=1e-6)

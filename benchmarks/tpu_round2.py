@@ -121,7 +121,10 @@ def _lcp(n, steps_warm, steps_meas, tag):
         state = sim.run_block(state, 5)
     fence(state.pos)
     t0 = time.perf_counter()
-    state = sim.run_block(state, steps_meas)
+    # resize=False: measure stepping at the settled capacities — a mid-
+    # window capacity re-fit recompiles the fused program (~75 s at 1M)
+    # and would otherwise dominate the 50-step timing
+    state = sim.run_block(state, steps_meas, resize=False)
     fence(state.pos)
     dt = time.perf_counter() - t0
     emit(phase=tag, steps_per_sec=steps_meas / dt,

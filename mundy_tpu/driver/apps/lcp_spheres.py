@@ -578,7 +578,8 @@ class LCPSpheresSim:
     # the ~1.5 s/step this path runs at 1M.
     device_steps_per_call: int = 16
 
-    def run_block(self, state: LCPSpheresState, n_steps: int) -> LCPSpheresState:
+    def run_block(self, state: LCPSpheresState, n_steps: int,
+                  resize: bool = True) -> LCPSpheresState:
         # (the old per-slot Pallas gridding kernels faulted inside the fused
         # nested-while program on v5e; the dense MXU gridding is pure XLA,
         # so the spectral path runs the fused loop like everything else)
@@ -589,7 +590,10 @@ class LCPSpheresSim:
             k = min(self.device_steps_per_call, n_steps - done)
             state = self._run_jit(state, jnp.asarray(k, jnp.int32))
             done += k
-        return self._resize_active(state)
+        # resize=False: step at the current capacities (a capacity re-fit
+        # eagerly recompiles the fused program, ~40-90 s at 1M — callers
+        # timing a steady-state window skip it and resize between windows)
+        return self._resize_active(state) if resize else state
 
     def _resize_active(self, state: LCPSpheresState) -> LCPSpheresState:
         """Between blocks: re-fit the active-set capacity to the measured

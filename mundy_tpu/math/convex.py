@@ -82,7 +82,11 @@ class PGDConfig:
     # without this exit the solve spins to max_iters at a frozen residual
     # (a 10000 x 20 ms single device execution gets the tunneled TPU worker
     # killed). The solve returns the best-residual iterate seen.
-    patience: int = static_field(default=250)
+    # 60 iterations with zero net improvement is confidently floored (BB
+    # non-monotone cycles run ~10-30 iterations; a genuinely converging
+    # solve sets a >1%-lower low every few of them), and it bounds the
+    # per-solve waste when the floor sits above tol to ~60 iterations.
+    patience: int = static_field(default=60)
     min_improve: float = static_field(default=1e-2)
 
 

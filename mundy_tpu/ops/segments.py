@@ -6,10 +6,10 @@ scatter lowers to a serial per-window loop). For SORTED ids the reduction
 can ride the MXU instead: partition bodies into blocks of B, slice each
 block's contiguous pair window (<= W pairs, found by binary search at
 rebuild), and reduce with a (B, W) one-hot matmul. bf16 one-hot entries are
-exact; values go through a hi/lo bf16 split capturing ~16 of the 24 f32
-mantissa bits, so each summand carries ~2^-16 relative error (ample for
-force accumulation; NOT 1-ulp f32). Measured 11.3 ms for the same (800k, 3)
-reduction — 6.2x.
+exact; values go through a hi/mid/lo bf16 split capturing the full 24-bit
+f32 mantissa (~1-2 ulp f32 per summand). Measured 11.3 ms for a (800k, 3)
+reduction with the 2-term split — 6.2x over scatter; the third term rides
+the same one-hot operand.
 
 This is the force-assembly primitive of the LCP collision path (the
 reference's `sum_collision_force`, `scrap/lcp_spheres/StkNgpLCP.cpp:578`,
@@ -102,12 +102,20 @@ def segment_sum_sorted_blocked(
         oh = onehot.astype(jnp.bfloat16)
         # barriers keep XLA from collapsing the f32->bf16->f32 round trips
         # (hi included — otherwise CPU folds hi back to the f32 value and
-        # tests never see the real MXU-path precision) or refolding hi + lo
-        # into one bf16 dot
+        # tests never see the real MXU-path precision) or refolding the
+        # terms into one bf16 dot. THREE bf16 terms recover the full 24-bit
+        # f32 mantissa (8 bits each): the 2-term split's ~2^-17 relative
+        # error was the BBPGD residual floor at 1M bodies (~2e-5 > the 1e-5
+        # overlap tolerance — solves burned the patience budget every step
+        # instead of exiting at tol). The one-hot operand is shared, so the
+        # third dot adds ~1/3 of the value-stream cost, not 50%.
         hi = jax.lax.optimization_barrier(vw.astype(jnp.bfloat16))
+        rem = vw - hi.astype(jnp.float32)
+        mid = jax.lax.optimization_barrier(rem.astype(jnp.bfloat16))
         lo = jax.lax.optimization_barrier(
-            (vw - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+            (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16))
         return (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(oh, mid, preferred_element_type=jnp.float32)
                 + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
 
     out = jax.lax.map(blk, jnp.arange(nb, dtype=jnp.int32),

@@ -29,11 +29,13 @@ def test_matches_segment_sum(rng):
 
 
 def test_f32_bf16_split_accuracy(rng):
-    """The f32 path reduces via bf16 hi/lo MXU dots: ~16 of 24 mantissa
-    bits per summand (~2^-16 relative), NOT exact. Both hi and lo sit
-    behind optimization barriers, so this exercises the real MXU-path
-    rounding even on CPU (where XLA would otherwise fold the f32->bf16->
-    f32 round trip away and the test would vacuously pass at 1e-10)."""
+    """The f32 path reduces via a 3-term bf16 hi/mid/lo MXU dot that
+    recovers the full 24-bit f32 mantissa (~1-2 ulp per summand). All
+    terms sit behind optimization barriers, so this exercises the real
+    MXU-path rounding even on CPU (where XLA would otherwise fold the
+    f32->bf16->f32 round trip away and the test would vacuously pass).
+    The tight tolerance is the point: the 2-term split's ~2^-17 relative
+    error was the BBPGD residual floor at 1M bodies."""
     n, B, W, cap = 1000, 64, 256, 2048
     ids, vals = _case(rng, n, 1.3, B, W, cap)
     vals32 = vals.astype(jnp.float32)
@@ -43,7 +45,7 @@ def test_f32_bf16_split_accuracy(rng):
     ref = jax.ops.segment_sum(vals, ids, num_segments=n + 1)[:n]
     scale = float(jnp.max(jnp.abs(vals)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=5e-5 * scale)
+                               atol=3e-7 * scale)
 
 
 def test_windows_from_body_starts_match_searchsorted(rng):

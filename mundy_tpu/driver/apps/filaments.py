@@ -122,6 +122,8 @@ class FilamentsSim:
             if self.row_grid.ny < 5 or self.row_grid.nz < 5:
                 self.contact_engine = "nmat"
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
+        # rows-layout broad-phase capacity slack (grown by regrow)
+        self.rows_slack = 1.9
         # adjacency exclusion table: same-filament neighbors k-1, k+1
         seg_ids = np.arange(self.S)
         k = seg_ids % self.E
@@ -144,6 +146,33 @@ class FilamentsSim:
             rows = build_rows(mid, jnp.arange(self.S, dtype=jnp.int32),
                               self.row_grid)
             return rows, rows.overflow
+        # Rows-layout BUILD of the (N, K) matrix when the extraction
+        # envelope admits it (the same per-class pattern as chromatin and
+        # rods): the cell-list builder's candidate tables pay ~4.3 ns/row
+        # computed-index gathers and dominate the filament rebuild. The
+        # adjacency exclusion (same-filament k-1/k+1 — always in cutoff)
+        # rides as 2 extra lanes and a post-filter.
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        if self.dtype == jnp.float32 and n_cells >= 5:
+            from mundy_tpu.neighbor.rows import (make_row_grid,
+                                                 neighbor_matrix_rows,
+                                                 rows_extract_feasible)
+            k_want = c.max_neighbors + 2
+            rg = make_row_grid([0, 0, 0], (c.box_size,) * 3,
+                               2 * float(self.search_radius), self.S,
+                               capacity_slack=self.rows_slack,
+                               dtype=self.dtype, align=8)
+            if rows_extract_feasible(rg, k_want):
+                nmat = neighbor_matrix_rows(
+                    mid, float(self.search_radius), (c.box_size,) * 3,
+                    max_neighbors=k_want, grid=rg)
+                excl_hit = jnp.any(
+                    nmat.idx[:, :, None] == self.exclude[:, None, :],
+                    axis=-1)
+                nmat = nmat._replace(mask=nmat.mask & ~excl_hit,
+                                     idx=jnp.where(excl_hit, self.S,
+                                                   nmat.idx))
+                return nmat, nmat.overflow
         clist = build_cell_list(mid, self.grid, c.cell_capacity)
         nmat = neighbor_matrix(
             mid, clist, jnp.asarray(self.search_radius, self.dtype),
@@ -454,6 +483,7 @@ class FilamentsSim:
         if self.contact_engine == "rows":
             self.row_grid = self.row_grid.replace(
                 row_capacity=grow_int(self.row_grid.row_capacity))
+        self.rows_slack *= 1.5
         self.__dict__.pop("_run_jit", None)
         nmat, ovf = self._build_nmat(state.pos)
         _a, _b, mid = self._segments(state.pos)

@@ -967,6 +967,15 @@ def neighbor_matrix_rows(
         raise ValueError("neighbor_matrix_rows needs >=5 cells per periodic "
                          "y/z axis; use neighbor_matrix")
 
+    # Wrap periodic axes into the primary cell: the row layout bins by
+    # clamped y/z cell coordinates, so an out-of-box position (unwrapped
+    # trajectories, e.g. chained filament midpoints) would land in an edge
+    # row the partner's 9-stencil never scans — silently missing pairs.
+    orig = jnp.asarray(grid.origin, dtype)
+    L = jnp.asarray(lengths, dtype)
+    wrapped = orig + jnp.mod(pos - orig, L)
+    pos = jnp.where(jnp.asarray(flags), wrapped, pos)
+
     state = build_rows(pos, jnp.arange(n, dtype=jnp.int32), grid)
 
     if use_pallas is None:

@@ -117,3 +117,35 @@ def test_rows_contact_engine_matches_nmat():
     assert not bool(s_n.overflow) and not bool(s_r.overflow)
     pn, pr = np.asarray(s_n.pos), np.asarray(s_r.pos)
     assert np.abs(pn - pr).max() < 1e-9, np.abs(pn - pr).max()
+
+
+def test_rows_broadphase_build_matches_cell_list():
+    """The f32 rows-layout BUILD of the (N, K) matrix (Pallas/XLA row
+    extraction + adjacency post-filter) must produce the same neighbor
+    pair set as the cell-list builder at the same cutoff."""
+    from mundy_tpu.neighbor import build_cell_list, neighbor_matrix
+
+    sim = FilamentsSim(cfg(num_filaments=40, nodes_per_filament=5,
+                           box_size=12.0, dtype="float32",
+                           diffusion_coeff=0.05))
+    state = sim.init()
+    # the f32 + n_cells>=5 gate admits the rows build here
+    assert int(sim.config.box_size // (2 * sim.search_radius)) >= 5
+    nmat, ovf = sim._build_nmat(state.pos)
+    assert not bool(ovf)
+    _a, _b, mid = sim._segments(state.pos)
+    clist = build_cell_list(mid, sim.grid, sim.config.cell_capacity)
+    ref = neighbor_matrix(mid, clist,
+                          jnp.asarray(sim.search_radius, sim.dtype),
+                          metric=sim.metric,
+                          max_neighbors=sim.config.max_neighbors,
+                          chunk=256, exclude=sim.exclude)
+    assert not bool(clist.overflow | ref.overflow)
+
+    def pair_set(nm):
+        i = np.repeat(np.arange(nm.idx.shape[0]), nm.idx.shape[1])
+        j = np.asarray(nm.idx).ravel()
+        m = np.asarray(nm.mask).ravel()
+        return set(zip(i[m].tolist(), j[m].tolist()))
+
+    assert pair_set(nmat) == pair_set(ref)

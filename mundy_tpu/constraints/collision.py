@@ -204,6 +204,63 @@ def active_pair_subset(setup: CollisionSetup, margin, capacity: int,
             jnp.where(valid, sel, c_full), n_act, n_act > capacity)
 
 
+def active_pair_subset_strided(setup: CollisionSetup, margin,
+                               n_bodies: int, block_bodies: int, window: int,
+                               full_starts: Array):
+    """Per-step active-set compaction into the STRIDED layout: active pairs
+    of body block b (bodies [b*B, (b+1)*B)) land at slots [b*W, b*W + c_b).
+
+    Same complementarity argument as active_pair_subset (pairs beyond the
+    margin provably carry zero multipliers), but block windows get STATIC
+    offsets — which is what admits the VMEM one-hot Pallas assembly kernel
+    (ops/pallas/seg_onehot.py; the windowed XLA path pays ~1 GB of
+    materialized one-hot HBM traffic per Delassus apply at 1M bodies). The
+    cost is pad slots interspersed between blocks instead of one tail run;
+    every consumer already masks by slot validity.
+
+    `full_starts`: (nb,) int32, the FULL list's per-block window starts
+    (segment_windows at rebuild). Returns (setup_act, sel, n_act,
+    block_max, overflow) where sel (nb*W,) maps active slot -> full-list
+    slot (pad C), block_max is the largest UNCAPPED per-block active count
+    (for host window resizing), overflow = any count > W.
+    """
+    from mundy_tpu.ops.segments import StridedWindows
+
+    pairs = setup.pairs
+    c_full = pairs.i.shape[0]
+    B, W = block_bodies, window
+    nb = full_starts.shape[0]
+    act = pairs.mask & (setup.sep0 < margin)
+    cum = jnp.cumsum(act.astype(jnp.int32))  # inclusive
+    n_act = cum[c_full - 1]
+    # actives before each block's full window start
+    base = jnp.where(full_starts > 0,
+                     cum[jnp.maximum(full_starts - 1, 0)], 0)
+    ends = jnp.append(full_starts[1:], jnp.asarray(c_full, jnp.int32))
+    counts = jnp.where(ends > 0, cum[jnp.maximum(ends - 1, 0)], 0) - base
+    block_max = jnp.max(counts)
+    overflow = block_max > W
+    bid = jnp.minimum(pairs.i // B, nb - 1)
+    rank = cum - 1 - base[bid]
+    ok = act & (rank < W)
+    slot = jnp.where(ok, bid * W + rank, nb * W)
+    sel = jnp.full((nb * W + 1,), c_full, jnp.int32).at[slot].set(
+        jnp.arange(c_full, dtype=jnp.int32), mode="drop")[:nb * W]
+    valid = sel < c_full
+    sel_c = jnp.minimum(sel, c_full - 1)
+    ai = jnp.where(valid, pairs.i[sel_c], n_bodies)
+    aj = jnp.where(valid, pairs.j[sel_c], n_bodies)
+    an = jnp.where(valid[:, None], setup.normals[sel_c], 0.0)
+    as0 = jnp.where(valid, setup.sep0[sel_c], 1.0)
+    apairs = PairList(i=ai, j=aj, mask=valid, num_pairs=n_act,
+                      overflow=overflow)
+    windows = StridedWindows(block_bodies=B, window=W, nb=nb,
+                             overflow=overflow)
+    return (CollisionSetup(pairs=apairs, normals=an, sep0=as0,
+                           windows=windows),
+            sel, n_act, block_max, overflow)
+
+
 def pair_j_permutation(pairs: PairList, n_bodies: int) -> Array:
     """Rebuild-time permutation sorting pairs by j (padded slots last)."""
     key = jnp.where(pairs.mask, pairs.j, n_bodies)
@@ -273,7 +330,12 @@ def collision_forces(setup: CollisionSetup, gamma: Array, n_bodies: int) -> Arra
     if setup.windows is not None:
         # ordered layout: pair (i, j) pushes -gamma n on i only; the (j, i)
         # duplicate delivers +gamma n to j. One blocked segmented reduction.
-        from mundy_tpu.ops.segments import segment_sum_sorted_blocked
+        from mundy_tpu.ops.segments import (StridedWindows,
+                                            segment_sum_sorted_blocked,
+                                            segment_sum_strided)
+        if isinstance(setup.windows, StridedWindows):
+            return segment_sum_strided(-gn, setup.pairs.i, n_bodies,
+                                       setup.windows)
         return segment_sum_sorted_blocked(-gn, setup.pairs.i, n_bodies,
                                           setup.windows)
     if setup.j_perm is not None:

@@ -445,6 +445,32 @@ class FilamentsSim:
         rel = self.metric.sep(pos[:, :1, :], pos)
         pos = pos[:, :1, :] + rel
         rod = init_rod_edges(pos)
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        if (self.contact_engine == "nmat" and self.dtype == jnp.float32
+                and n_cells >= 5):
+            # Right-size the rows-extraction slack from the MEASURED midpoint
+            # row occupancy: a straight filament aligned near the x axis drops
+            # all its segments into one (y, z) column (~15x the mean), so the
+            # default mean-occupancy slack overflows at benchmark-scale inits
+            # — a sticky flag plus silently truncated rows in any run_block
+            # window that never reaches the regrow loop.
+            from mundy_tpu.neighbor.rows import make_row_grid
+            _a0, _b0, mid0 = self._segments(pos)
+            rg = make_row_grid([0, 0, 0], (c.box_size,) * 3,
+                               2.0 * float(self.search_radius), self.S,
+                               capacity_slack=self.rows_slack,
+                               dtype=self.dtype, align=8)
+            p = np.mod(np.asarray(jax.device_get(mid0)), c.box_size)
+            iy = np.clip((p[:, 1] / (c.box_size / rg.ny)).astype(int),
+                         0, rg.ny - 1)
+            iz = np.clip((p[:, 2] / (c.box_size / rg.nz)).astype(int),
+                         0, rg.nz - 1)
+            occ = int(np.bincount(iy * rg.nz + iz,
+                                  minlength=rg.ny * rg.nz).max())
+            need = int(occ * 1.3) + 8
+            if need > rg.row_capacity:
+                mean = self.S / (rg.ny * rg.nz)
+                self.rows_slack = max(self.rows_slack, (need - 8) / mean)
         nmat, ovf = self._build_nmat(pos)
         if self.contact_engine == "rows":
             # Right-size the row capacity from the measured max occupancy

@@ -27,7 +27,6 @@ from mundy_tpu.constraints import (
     remap_gamma,
     resolve_collisions,
 )
-from mundy_tpu.constraints.collision import active_pair_subset
 from mundy_tpu.ops.segments import segment_windows
 from mundy_tpu.core.containers import pytree_dataclass
 from mundy_tpu.dynamics import brownian_velocity, euler_step
@@ -48,25 +47,6 @@ from mundy_tpu.neighbor import (
     neighbor_matrix,
     neighbor_matrix_rows,
 )
-
-
-def _pow2(n: int) -> int:
-    """Smallest quarter-pow2 grid point >= n (>= 1024): the active-set
-    capacity grid. Quarter steps ({1, 1.25, 1.5, 1.75} x 2^k) bound the
-    standing slack at 25% instead of pow2's 100% — every BBPGD iteration's
-    gathers scale with the capacity, and at 1M bodies the pure-pow2 grid
-    parked 417k active pairs in 1.05M slots (2.5x). Still a coarse enough
-    grid that capacity drift compiles O(4 log) distinct programs."""
-    p = 1024
-    while p < n:
-        p *= 2
-    if p <= 1024:
-        return p
-    for frac in (10, 12, 14):  # 1.25, 1.5, 1.75 x the next-lower pow2
-        c = (p // 16) * frac
-        if c >= n:
-            return c
-    return p
 
 
 @dataclasses.dataclass
@@ -167,9 +147,13 @@ class LCPSpheresSim:
         self.seg_window = max(2048, 8 * self.seg_block)
         self.active_margin = (c.active_margin if c.active_margin is not None
                               else 0.5 * c.constraint_buffer)
-        # active-set capacities: right-sized at init(), adapted between
-        # run blocks (power-of-two grid bounds the distinct compilations)
-        self.act_capacity = 1024
+        # STRIDED active layout: block b's active pairs live at slots
+        # [b*W, b*W + count_b) — static window offsets admit the VMEM
+        # one-hot Pallas assembly kernel (ops/pallas/seg_onehot.py; the
+        # windowed XLA path materializes ~1 GB of one-hot per Delassus
+        # apply at 1M bodies). W is right-sized at init(), adapted between
+        # run blocks; total active capacity = nb * W.
+        self.nb_blocks = -(-c.num_spheres // self.seg_block)
         self.act_window = 512
         # rows-broad-phase caps, grown by regrow() on overflow
         self.rows_k = 12
@@ -216,6 +200,11 @@ class LCPSpheresSim:
                 [0, 0, 0], np.array([c.box_size] * 3),
                 2 * self.hydro_search, (True,) * 3, self.dtype)
         self._step_jit = jax.jit(self._step)
+
+    @property
+    def act_capacity(self) -> int:
+        """Total active-pair slots of the strided layout (nb blocks x W)."""
+        return self.nb_blocks * self.act_window
 
     def _pair_run_bound(self) -> int:
         """Max pairs per body = the broad phase's neighbor cap (rows path
@@ -315,20 +304,20 @@ class LCPSpheresSim:
         if w_tight != self.seg_window:
             self.seg_window = w_tight
             nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
-        # Size the active set from the measured near-contact count (a cold
-        # random start is the high-water mark: most close pairs overlap).
+        # Size the active window from the measured near-contact per-block
+        # maximum (a cold random start is the high-water mark: most close
+        # pairs overlap).
         radius = (self.radii if self.radii is not None
                   else jnp.asarray(c.radius, self.dtype))
         setup0 = collision_setup_spheres(pos, radius, pairs,
                                          metric=self.metric)
         act = pairs.mask & (setup0.sep0 < self._dyn_margin(setup0))
         n_act = int(jax.device_get(jnp.sum(act)))
-        self.act_capacity = _pow2(int(n_act * 1.2) + 1024)
         act_i = np.asarray(jax.device_get(jnp.where(act, pairs.i,
                                                     c.num_spheres)))
         blk = np.bincount(act_i[act_i < c.num_spheres] // self.seg_block,
                           minlength=1)
-        self.act_window = max(512, (int(blk.max() * 1.5) + 255) // 256 * 256)
+        self.act_window = max(256, (int(blk.max() * 1.5) + 255) // 256 * 256)
         return LCPSpheresState(
             pos=pos,
             gamma=jnp.zeros((self.act_capacity,), self.dtype),
@@ -457,15 +446,15 @@ class LCPSpheresSim:
         # resolved: a cold start activates (nearly) the whole list, so the
         # truncated solve equals the full solve; steady state shrinks to
         # the near-contact set (traced scalar: no recompiles).
-        # ordered-pair assembly on the active list: one blocked segmented
-        # reduction per D-apply (ops/segments.py; 6x over scatter at 1M).
-        # Active windows are derived from the compaction cumsum + the full
-        # list's seg_starts (a per-step searchsorted here cost 28-40 ms).
-        setup, sel, n_act, act_ovf = active_pair_subset(
-            setup_full, self._dyn_margin(setup_full),
-            self.act_capacity, c.num_spheres, seg_starts=state.seg_starts,
-            block_bodies=self.seg_block, window=self.act_window)
-        overflow = overflow | act_ovf | setup.windows.overflow
+        # STRIDED layout: block b's actives land at [b*W, b*W + count_b),
+        # so the assembly's block windows have static offsets — one VMEM
+        # one-hot Pallas reduction per D-apply (ops/pallas/seg_onehot.py).
+        from mundy_tpu.constraints.collision import \
+            active_pair_subset_strided
+        setup, sel, n_act, block_max, act_ovf = active_pair_subset_strided(
+            setup_full, self._dyn_margin(setup_full), c.num_spheres,
+            self.seg_block, self.act_window, state.seg_starts)
+        overflow = overflow | act_ovf
 
         mobility, hydro_ovf = self._mobility(pos, state.hydro_nmat)
         overflow = overflow | hydro_ovf
@@ -514,9 +503,6 @@ class LCPSpheresSim:
             vel = vel + u_ext
 
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
-        n_act_c = jnp.minimum(n_act, self.act_capacity)
-        block_max = jnp.max(jnp.diff(jnp.append(setup.windows.starts,
-                                                n_act_c)))
         return state.replace(
             pos=new_pos, gamma=gamma, gamma_sel=sel, step=state.step + 1,
             lcp_iters=res.num_iters,
@@ -596,48 +582,42 @@ class LCPSpheresSim:
         return self._resize_active(state) if resize else state
 
     def _resize_active(self, state: LCPSpheresState) -> LCPSpheresState:
-        """Between blocks: re-fit the active-set capacity to the measured
-        count (a relaxing cold start shrinks it ~5x; every BBPGD iteration's
-        gathers scale with the capacity, so slack is paid per iteration).
-        Runs AFTER a block and eagerly compiles the resized program so the
-        next block's timing never contains the recompile.
+        """Between blocks: re-fit the active window W to the measured
+        per-block maximum (a relaxing cold start shrinks it severalfold;
+        every BBPGD iteration's gathers and one-hot blocks scale with
+        nb * W, so slack is paid per iteration). Runs AFTER a block and
+        eagerly compiles the resized program so the next block's timing
+        never contains the recompile.
 
         Hysteresis: growing is immediate, but a shrink must be demanded by
         TWO consecutive blocks — each resize recompiles the fused run
         program (~40-60 s through the remote-compile tunnel at 1M), and a
-        count hovering near a pow2 boundary would otherwise bounce the
-        capacity (and eat a recompile) every block. A band-based rule
-        (shrink only past 4x overshoot) was tried instead and left the
-        steady state 3.2x oversized after a relaxing cold start — slack
-        every BBPGD iteration then pays for (measured: 41k active in 131k
-        slots at 100k bodies)."""
-        n_act = int(jax.device_get(state.act_count))
-        target = _pow2(int(n_act * 1.2) + 1024)
-        # refit the assembly window too: every BBPGD iteration's one-hot
-        # blocks are (seg_block, act_window), so a cold-start-sized window
-        # (~2x the steady-state block max) is paid per iteration
+        count hovering near an alignment boundary would otherwise bounce
+        the capacity (and eat a recompile) every block."""
         blk_max = int(jax.device_get(state.act_block_max))
         target_w = max(256, (int(blk_max * 1.5) + 255) // 256 * 256)
-        if target == self.act_capacity and target_w == self.act_window:
+        if target_w == self.act_window:
             self._act_shrink_streak = 0
             return state
-        if target <= self.act_capacity and target_w <= self.act_window:
+        if target_w <= self.act_window:
             streak = getattr(self, "_act_shrink_streak", 0)
             if streak < 1:
                 self._act_shrink_streak = streak + 1
                 return state
         self._act_shrink_streak = 0
+        # W changes move every strided slot, so live multipliers are folded
+        # into the full-list snapshot (the warm start's fallback source)
+        # instead of being copied by slot.
+        gfull = state.gamma_full.at[state.gamma_sel].set(
+            jnp.where(state.gamma_sel < self.pair_capacity, state.gamma,
+                      0.0), mode="drop")
         self.act_window = target_w
-        m = min(self.act_capacity, target)
-        # active slots are front-packed ([0, n_act) valid), so a prefix
-        # copy preserves every live multiplier when m >= n_act
-        gamma = jnp.zeros((target,), self.dtype).at[:m].set(state.gamma[:m])
-        sel = jnp.full((target,), self.pair_capacity,
-                       jnp.int32).at[:m].set(state.gamma_sel[:m])
-        self.act_capacity = target
+        a_cap = self.act_capacity
+        gamma = jnp.zeros((a_cap,), self.dtype)
+        sel = jnp.full((a_cap,), self.pair_capacity, jnp.int32)
         self.__dict__.pop("_run_jit", None)
         self._step_jit = jax.jit(self._step)
-        state = state.replace(gamma=gamma, gamma_sel=sel)
+        state = state.replace(gamma=gamma, gamma_sel=sel, gamma_full=gfull)
         self._run_jit = jax.jit(self._run_n)
         # 0-step call: populates the jit cache for the new shapes now
         state = self._run_jit(state, jnp.asarray(0, jnp.int32))
@@ -654,7 +634,6 @@ class LCPSpheresSim:
         old_pair_capacity = self.pair_capacity
         self.pair_capacity = grow_int(self.pair_capacity, align=1024)
         self.seg_window = grow_int(self.seg_window, align=512)
-        self.act_capacity = _pow2(2 * self.act_capacity)
         self.act_window = grow_int(self.act_window, align=256)
         self.rows_k = grow_int(self.rows_k, align=4)
         self.rows_slack *= 1.5

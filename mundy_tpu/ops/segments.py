@@ -68,6 +68,53 @@ def segment_windows(ids: Array, n_segments: int, block_bodies: int,
                           overflow=jnp.any(counts > W))
 
 
+class StridedWindows(NamedTuple):
+    """Static-offset block structure: pairs of segment block b occupy slots
+    [b*W, b*W + count_b) (constraints/collision.active_pair_subset_strided).
+    Unlike SegmentWindows there is nothing to search at rebuild — block b's
+    window IS [b*W, (b+1)*W) — which is what lets the Pallas one-hot kernel
+    (ops/pallas/seg_onehot.py) run without dynamic HBM slicing."""
+
+    block_bodies: int  # B
+    window: int  # W
+    nb: int
+    overflow: Array  # any block's active count exceeded W
+
+
+def segment_sum_strided(
+    values: Array,  # (nb*W, D) — padded rows must carry ZERO values
+    ids: Array,  # (nb*W,) int32 segment ids; block b's slots hold ids in
+    #              [b*B, (b+1)*B) (pads carry >= n_segments)
+    n_segments: int,
+    windows: StridedWindows,
+) -> Array:
+    """Strided-layout segmented reduction -> (n_segments, D).
+
+    TPU f32 path: the VMEM one-hot Pallas kernel (~80x less HBM traffic than
+    the windowed XLA path's materialized one-hots). Elsewhere: the windowed
+    XLA reduction with the static starts b*W.
+    """
+    B, W, nb = windows.block_bodies, windows.window, windows.nb
+    D = values.shape[1]
+    use_pallas = (jax.default_backend() == "tpu"
+                  and values.dtype == jnp.float32 and D == 3
+                  and W % 8 == 0 and B % 128 == 0)
+    if use_pallas:
+        from mundy_tpu.ops.pallas.seg_onehot import (seg_onehot_vmem_ok,
+                                                     strided_onehot_segment_sum)
+        use_pallas = seg_onehot_vmem_ok(W, B)
+    if use_pallas:
+        blk = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), W)
+        loc = (ids - blk * B).reshape(nb, W)
+        v = values.reshape(nb, W, D).transpose(0, 2, 1)
+        out = strided_onehot_segment_sum(v, loc, B)
+        return out.transpose(0, 2, 1).reshape(nb * B, D)[:n_segments]
+    starts = jnp.arange(nb, dtype=jnp.int32) * W
+    win = SegmentWindows(starts=starts, block_bodies=B, window=W,
+                         overflow=windows.overflow)
+    return segment_sum_sorted_blocked(values, ids, n_segments, win)
+
+
 def segment_sum_sorted_blocked(
     values: Array,  # (C, D) f32, zero on padded rows
     ids: Array,  # (C,) int32 sorted ascending; pads carry >= n_segments

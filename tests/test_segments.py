@@ -89,3 +89,112 @@ def test_pad_run_not_counted(rng):
     vals = jnp.zeros((104, 3)).at[:4].set(1.0)
     out = segment_sum_sorted_blocked(vals, ids, n, win)
     assert float(out.sum()) == 12.0
+
+
+def _strided_case(rng, n, B, W, mean=1.3):
+    """Random strided-layout case: block b's slots hold sorted ids in
+    [b*B, (b+1)*B), front-packed, pads carrying n with zero values."""
+    nb = -(-n // B)
+    counts = rng.poisson(mean, n)
+    ids = np.full((nb * W,), n, np.int64)
+    for b in range(nb):
+        blk = np.repeat(np.arange(b * B, min((b + 1) * B, n)),
+                        counts[b * B:(b + 1) * B])[:W]
+        ids[b * W:b * W + blk.size] = blk
+    vals = rng.normal(size=(nb * W, 3))
+    vals[ids >= n] = 0.0
+    return (jnp.asarray(ids, jnp.int32), jnp.asarray(vals, jnp.float32), nb)
+
+
+def test_strided_matches_segment_sum(rng):
+    from mundy_tpu.ops.segments import StridedWindows, segment_sum_strided
+
+    n, B, W = 1000, 128, 256
+    ids, vals, nb = _strided_case(rng, n, B, W)
+    win = StridedWindows(block_bodies=B, window=W, nb=nb,
+                         overflow=jnp.asarray(False))
+    out = segment_sum_strided(vals, ids, n, win)
+    ref = jax.ops.segment_sum(vals, ids, num_segments=n + 1)[:n]
+    scale = float(jnp.max(jnp.abs(vals)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-7 * scale)
+
+
+def test_strided_pallas_kernel_interpret(rng):
+    """The VMEM one-hot kernel (interpret mode) against the XLA fallback:
+    same 3-term bf16 split contract, loc outside [0, B) structurally
+    dropped (pad values need NOT be zero on the Pallas path)."""
+    from mundy_tpu.ops.pallas.seg_onehot import strided_onehot_segment_sum
+
+    n, B, W = 512, 128, 128
+    ids, vals, nb = _strided_case(rng, n, B, W)
+    blk = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), W)
+    loc = (ids - blk * B).reshape(nb, W)
+    # poison pad values: the kernel must drop them structurally
+    poisoned = jnp.where((ids >= n)[:, None],
+                         jnp.asarray(1e6, jnp.float32), vals)
+    v = poisoned.reshape(nb, W, 3).transpose(0, 2, 1)
+    out = strided_onehot_segment_sum(v, loc, B, interpret=True)
+    got = out.transpose(0, 2, 1).reshape(nb * B, 3)[:n]
+    ref = jax.ops.segment_sum(vals, ids, num_segments=n + 1)[:n]
+    scale = float(jnp.max(jnp.abs(vals)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-7 * scale)
+
+
+def test_active_pair_subset_strided_parity(rng):
+    """Strided compaction vs the front-packed compaction: same active pair
+    SET, same per-block membership, per-block slot base b*W."""
+    from mundy_tpu.constraints.collision import (CollisionSetup,
+                                                 active_pair_subset,
+                                                 active_pair_subset_strided)
+    from mundy_tpu.neighbor.cell_list import PairList
+    from mundy_tpu.ops.segments import segment_windows
+
+    n, B, W, cap = 300, 32, 64, 1024
+    counts = rng.poisson(2.0, n)
+    ids = np.repeat(np.arange(n), counts)[:cap]
+    ids = np.pad(ids, (0, cap - ids.size), constant_values=n)
+    ids = np.sort(ids)
+    mask = ids < n
+    j = rng.integers(0, n, cap)
+    sep0 = rng.normal(size=cap).astype(np.float32)
+    pairs = PairList(i=jnp.asarray(ids, jnp.int32),
+                     j=jnp.asarray(np.where(mask, j, n), jnp.int32),
+                     mask=jnp.asarray(mask),
+                     num_pairs=jnp.asarray(int(mask.sum()), jnp.int32),
+                     overflow=jnp.asarray(False))
+    normals = jnp.asarray(rng.normal(size=(cap, 3)), jnp.float32)
+    setup = CollisionSetup(pairs=pairs, normals=normals,
+                           sep0=jnp.asarray(sep0))
+    body_starts = jnp.asarray(
+        np.concatenate([[0], np.cumsum(np.bincount(ids[mask], minlength=n))]),
+        jnp.int32)
+    seg = segment_windows(pairs.i, n, B, W, body_starts=body_starts)
+    margin = 0.0
+    s_act, sel, n_act, blk_max, ovf = active_pair_subset_strided(
+        setup, margin, n, B, W, seg.starts)
+    assert not bool(ovf)
+    ref_act, ref_sel, ref_n, _ref_ovf = active_pair_subset(
+        setup, margin, cap, n, seg_starts=seg.starts, block_bodies=B,
+        window=W)
+    assert int(n_act) == int(ref_n)
+    got_slots = set(np.asarray(sel)[np.asarray(sel) < cap].tolist())
+    ref_slots = set(np.asarray(ref_sel)[np.asarray(ref_sel) < cap].tolist())
+    assert got_slots == ref_slots
+    # strided invariant: active slot s holds a pair of body block s // W
+    sel_np = np.asarray(sel)
+    for s in np.nonzero(sel_np < cap)[0]:
+        assert ids[sel_np[s]] // B == s // W
+    # block_max matches the densest block's true active count
+    per_block = np.bincount(ids[mask & (sep0 < margin)] // B,
+                            minlength=len(np.asarray(seg.starts)))
+    assert int(blk_max) == int(per_block.max())
+    # assembly parity through collision_forces on both layouts
+    from mundy_tpu.constraints.collision import collision_forces
+    g_full = rng.normal(size=cap).astype(np.float32)
+    ga = jnp.asarray(g_full)[jnp.minimum(sel, cap - 1)]
+    gr = jnp.asarray(g_full)[jnp.minimum(ref_sel, cap - 1)]
+    fa = collision_forces(s_act, ga, n)
+    fr = collision_forces(ref_act, gr, n)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fr), atol=1e-5)

@@ -103,23 +103,26 @@ def main(n=1_000_000):
                                                   metric=sim.metric)),
         pos, tag="setup_full (sep/normals over C)")
 
-    margin = sim._dyn_margin(setup_full)
-    compact = jax.jit(lambda sf: active_pair_subset(
-        sf, sim._dyn_margin(sf), sim.act_capacity, n))
-    (setup_act, sel, n_act, ovf), _ = timeit(compact, setup_full,
-                                             tag="active_pair_subset")
-    print(f"   n_act={int(n_act)} of C={sim.pair_capacity}")
+    from mundy_tpu.constraints.collision import active_pair_subset_strided
 
-    win = jax.jit(lambda s: segment_windows(s.pairs.i, n, sim.seg_block,
-                                            sim.act_window))
-    windows, _ = timeit(win, setup_act, tag="segment_windows (active)")
+    compact = jax.jit(lambda sf: active_pair_subset_strided(
+        sf, sim._dyn_margin(sf), n, sim.seg_block, sim.act_window,
+        state.seg_starts, dual_full=state.dual_full,
+        prev=(state.prev_cum, state.gamma, sim.act_window),
+        gamma_full=state.gamma_full))
+    res_act, _ = timeit(compact, setup_full,
+                        tag="active_pair_subset_strided (+dual+warm)")
+    setup_act, sel, n_act, blk_max = (res_act.setup, res_act.sel,
+                                      res_act.n_act, res_act.block_max)
+    dual_act = res_act.dual
+    print(f"   n_act={int(n_act)} of C={sim.pair_capacity} "
+          f"A={sim.act_capacity} blk_max={int(blk_max)}")
     # jit outputs turn the NamedTuple's static ints into arrays; rebuild
     # with python ints so downstream jit sees static block/window sizes
-    from mundy_tpu.ops.segments import SegmentWindows
-    windows = SegmentWindows(starts=windows.starts,
-                             block_bodies=sim.seg_block,
-                             window=sim.act_window,
-                             overflow=windows.overflow)
+    from mundy_tpu.ops.segments import StridedWindows
+    windows = StridedWindows(block_bodies=sim.seg_block,
+                             window=sim.act_window, nb=sim.nb_blocks,
+                             overflow=setup_act.windows.overflow)
     setup_act = setup_act._replace(windows=windows)
 
     gamma = jnp.where(setup_act.pairs.mask,
@@ -149,6 +152,16 @@ def main(n=1_000_000):
     loop_time(lambda g: 0.999 * g + 0.001 * apply_A(g), 32,
               "apply_A (full Delassus)", gamma)
 
+    # fused block-local apply (scalar mobility): one VMEM one-hot kernel
+    # + one (A,) dual gather per iteration
+    from mundy_tpu.constraints.collision import make_local_drag_apply
+    mob_c = 1.0 / (6.0 * 3.141592653589793 * c.viscosity * c.radius)
+    fused = make_local_drag_apply(setup_act, dual_act, n, c.dt,
+                                  mobility_i=jnp.asarray(mob_c, dtype),
+                                  mobility_j=jnp.asarray(mob_c, dtype))
+    loop_time(lambda g: 0.999 * g + 0.001 * fused(g), 32,
+              "apply_A fused (strided_t + dual)", gamma)
+
     # solver-iteration overhead: dots + residual + projections
     def iter_overhead(g):
         gg = jnp.where(setup_act.pairs.mask, g, 0.0)
@@ -159,6 +172,27 @@ def main(n=1_000_000):
         return 0.999 * g + 0.001 * (d1 + d2 + d3 + r)
 
     loop_time(iter_overhead, 32, "iteration dots+residual", gamma)
+
+    # the actual solve at the steady-state iteration count
+    from mundy_tpu.constraints.collision import resolve_collisions
+
+    def solve_k(k):
+        def run(s):
+            setup_f = collision_setup_spheres(s.pos, radius, s.pairs,
+                                              metric=sim.metric)
+            su = active_pair_subset_strided(
+                setup_f, sim._dyn_margin(setup_f), n, sim.seg_block,
+                sim.act_window, s.seg_starts).setup
+            g0 = jnp.zeros((sim.act_capacity,), dtype)
+            _g, vel, res = resolve_collisions(
+                su, mob, n, c.dt, max_allowable_overlap=c.max_allowable_overlap,
+                max_iterations=k, gamma0=g0)
+            return s.replace(lcp_residual=res.residual)
+        return run
+
+    for k in (1, 6, 12):
+        timeit(jax.jit(solve_k(k)), state, iters=3,
+               tag=f"setup+compact+solve(max_iters={k})")
 
     # full inner step
     loop_time(lambda s: sim._inner_step(s), 8, "full _inner_step", state)

@@ -109,6 +109,9 @@ class LCPSpheresState:
     pairs: object  # PairList (skin-buffered constraint candidates)
     hydro_nmat: object  # NeighborMatrix for hydrodynamics (wider cutoff)
     seg_starts: Array  # (nb,) first-pair index per body block (assembly)
+    dual_full: Array  # (C,) full-list slot of each pair's (j,i) duplicate
+    prev_cum: Array  # (C,) last step's active cumsum (warm-start map);
+    #                  zeros = invalid (post-rebuild/resize)
     ref_pos: Array  # positions at last rebuild
     rebuild_count: Array
     lcp_iters: Array  # () int32 — last solve iterations
@@ -238,11 +241,18 @@ class LCPSpheresSim:
             )
             clist_ovf = clist.overflow
         pairs = build_pair_list_ordered(nmat, self.pair_capacity)
-        from mundy_tpu.constraints.collision import body_pair_starts
+        from mundy_tpu.constraints.collision import (body_pair_starts,
+                                                     pair_dual_slots)
+        starts = body_pair_starts(nmat)
         seg = segment_windows(pairs.i, c.num_spheres, self.seg_block,
-                              self.seg_window,
-                              body_starts=body_pair_starts(nmat))
-        ovf = clist_ovf | nmat.overflow | pairs.overflow | seg.overflow
+                              self.seg_window, body_starts=starts)
+        # dual slots feed the block-local (scalar-mobility) Delassus apply;
+        # a missing dual means the neighbor rows truncated one direction of
+        # a contact — the pair list itself is then asymmetric (broken
+        # Newton pairs), so it is an overflow in every hydro mode
+        dual_full, dual_missing = pair_dual_slots(pairs, starts, nmat)
+        ovf = (clist_ovf | nmat.overflow | pairs.overflow | seg.overflow
+               | dual_missing)
         if self.ewald is not None:
             hcl = build_cell_list(pos, self.hydro_grid, 4 * c.cell_capacity)
             # small chunk: the (chunk, 27*cap, 3) candidate buffers of the
@@ -255,7 +265,7 @@ class LCPSpheresSim:
             ovf = ovf | hcl.overflow | hmat.overflow
         else:
             hmat = nmat
-        return nmat, pairs, hmat, seg.starts, ovf
+        return nmat, pairs, hmat, seg.starts, dual_full, ovf
 
     def init(self, key: Optional[Array] = None) -> LCPSpheresState:
         c = self.config
@@ -272,7 +282,7 @@ class LCPSpheresSim:
             perm = hilbert_shard_permutation(np.asarray(pos), [0.0] * 3,
                                              [c.box_size] * 3)
             pos = pos[jnp.asarray(perm)]
-        nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
+        nmat, pairs, hmat, seg_starts, dual_full, ovf = self._broad_phase(pos)
         # Right-size the pair capacity: every BBPGD iteration scatters and
         # gathers over the FULL capacity (~9 ns/row on v5e), so slack is paid
         # 2x per iteration. Measure the real candidate count once at init and
@@ -296,14 +306,14 @@ class LCPSpheresSim:
                 self.rows_k = k_tight
                 resize = True
         if resize:  # windows need the un-truncated pair list
-            nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
+            nmat, pairs, hmat, seg_starts, dual_full, ovf = self._broad_phase(pos)
         # Right-size the assembly window from the measured per-block maximum
         counts = np.diff(np.append(np.asarray(jax.device_get(seg_starts)),
                                    int(jax.device_get(pairs.num_pairs))))
         w_tight = (int(counts.max() * 1.5) + 511) // 512 * 512
         if w_tight != self.seg_window:
             self.seg_window = w_tight
-            nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(pos)
+            nmat, pairs, hmat, seg_starts, dual_full, ovf = self._broad_phase(pos)
         # Size the active window from the measured near-contact per-block
         # maximum (a cold random start is the high-water mark: most close
         # pairs overlap).
@@ -328,6 +338,8 @@ class LCPSpheresSim:
             step=jnp.asarray(0, jnp.int32),
             nmat=nmat, pairs=pairs, hydro_nmat=hmat,
             seg_starts=seg_starts,
+            dual_full=dual_full,
+            prev_cum=jnp.zeros((self.pair_capacity,), jnp.int32),
             ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32),
             lcp_iters=jnp.asarray(0, jnp.int32),
@@ -340,7 +352,7 @@ class LCPSpheresSim:
         )
 
     def _rebuild(self, state: LCPSpheresState) -> LCPSpheresState:
-        nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(state.pos)
+        nmat, pairs, hmat, seg_starts, dual_full, ovf = self._broad_phase(state.pos)
         # warm-start multipliers survive the rebuild BY PAIR IDENTITY: the
         # re-sorted list scrambles slots exactly when the solve is most
         # expensive (weak #5). Scatter the active multipliers onto the old
@@ -358,6 +370,8 @@ class LCPSpheresSim:
                                  old_nmat=state.nmat)
         return state.replace(nmat=nmat, pairs=pairs, hydro_nmat=hmat,
                              seg_starts=seg_starts,
+                             dual_full=dual_full,
+                             prev_cum=jnp.zeros_like(state.prev_cum),
                              gamma=jnp.zeros_like(state.gamma),
                              gamma_sel=jnp.full_like(state.gamma_sel,
                                                      self.pair_capacity),
@@ -449,34 +463,43 @@ class LCPSpheresSim:
         # STRIDED layout: block b's actives land at [b*W, b*W + count_b),
         # so the assembly's block windows have static offsets — one VMEM
         # one-hot Pallas reduction per D-apply (ops/pallas/seg_onehot.py).
-        from mundy_tpu.constraints.collision import \
-            active_pair_subset_strided
-        setup, sel, n_act, block_max, act_ovf = active_pair_subset_strided(
+        # Warm start and the block-local dual map both come out of the
+        # compaction as GATHERS into this/last step's cumsum — the
+        # inverse-scatter warm map this replaces cost 44 ms/step at 1M
+        # (one (C,) scatter); see active_pair_subset_strided.
+        from mundy_tpu.constraints.collision import (
+            active_pair_subset_strided, make_local_drag_apply)
+        fused_drag = c.hydro == "none"
+        act = active_pair_subset_strided(
             setup_full, self._dyn_margin(setup_full), c.num_spheres,
-            self.seg_block, self.act_window, state.seg_starts)
-        overflow = overflow | act_ovf
+            self.seg_block, self.act_window, state.seg_starts,
+            dual_full=state.dual_full if fused_drag else None,
+            prev=(state.prev_cum, state.gamma, self.act_window),
+            gamma_full=state.gamma_full)
+        setup, sel, n_act, block_max = (act.setup, act.sel, act.n_act,
+                                        act.block_max)
+        gamma0 = act.gamma0
+        overflow = overflow | act.overflow
 
         mobility, hydro_ovf = self._mobility(pos, state.hydro_nmat)
         overflow = overflow | hydro_ovf
 
-        # Warm start: pairs persisting in the active set match their slot
-        # in last step's selection via an inverse map — one scatter of the
-        # old selection (full-slot -> old active slot) + one gather. The
-        # searchsorted formulation this replaces cost 196 ms at 1M active
-        # slots (binary-search gather storm) vs ~15 ms for scatter+gather.
-        # Pairs entering the set fall back to the rebuild-time full-list
-        # snapshot (~their last known value; fresh pairs were ~0 there,
-        # which is also the right guess).
-        a_cap = self.act_capacity
-        c_cap = self.pair_capacity
-        inv = jnp.full((c_cap + 1,), a_cap, jnp.int32).at[
-            jnp.minimum(state.gamma_sel, c_cap)].set(
-            jnp.arange(a_cap, dtype=jnp.int32))
-        ppos = inv[jnp.minimum(sel, c_cap)]
-        hit = (ppos < a_cap) & setup.pairs.mask
-        g_snap = state.gamma_full[jnp.minimum(sel, c_cap - 1)]
-        gamma0 = jnp.where(hit, state.gamma[jnp.minimum(ppos, a_cap - 1)],
-                           jnp.where(setup.pairs.mask, g_snap, 0.0))
+        apply_override = None
+        if fused_drag:
+            # scalar mobility: the Delassus apply runs block-local (one
+            # VMEM one-hot kernel + one (A,) dual gather per iteration —
+            # no global (A, 3) velocity gathers; collision.py)
+            if self.radii is not None:
+                invdrag = 1.0 / (6.0 * _math.pi * c.viscosity * self.radii)
+                nsafe = c.num_spheres - 1
+                mob_i = invdrag[jnp.minimum(setup.pairs.i, nsafe)]
+                mob_j = invdrag[jnp.minimum(setup.pairs.j, nsafe)]
+            else:
+                mob = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
+                mob_i = mob_j = jnp.asarray(mob, self.dtype)
+            apply_override = make_local_drag_apply(
+                setup, act.dual, c.num_spheres, c.dt,
+                mobility_i=mob_i, mobility_j=mob_j)
 
         # Brownian drift is a KNOWN velocity: it enters the LCP's constant
         # term so the solve enforces non-penetration of the actual
@@ -497,6 +520,7 @@ class LCPSpheresSim:
             gamma0=gamma0,
             u_ext=u_ext,
             alpha0=state.lcp_alpha,
+            apply_override=apply_override,
         )
 
         if u_ext is not None:
@@ -504,7 +528,8 @@ class LCPSpheresSim:
 
         new_pos = euler_step(pos, vel, jnp.asarray(c.dt, self.dtype), metric=self.metric)
         return state.replace(
-            pos=new_pos, gamma=gamma, gamma_sel=sel, step=state.step + 1,
+            pos=new_pos, gamma=gamma, gamma_sel=sel, prev_cum=act.cum,
+            step=state.step + 1,
             lcp_iters=res.num_iters,
             lcp_iters_max=jnp.maximum(state.lcp_iters_max, res.num_iters),
             lcp_residual=res.residual, lcp_alpha=res.alpha,
@@ -617,7 +642,8 @@ class LCPSpheresSim:
         sel = jnp.full((a_cap,), self.pair_capacity, jnp.int32)
         self.__dict__.pop("_run_jit", None)
         self._step_jit = jax.jit(self._step)
-        state = state.replace(gamma=gamma, gamma_sel=sel, gamma_full=gfull)
+        state = state.replace(gamma=gamma, gamma_sel=sel, gamma_full=gfull,
+                              prev_cum=jnp.zeros_like(state.prev_cum))
         self._run_jit = jax.jit(self._run_n)
         # 0-step call: populates the jit cache for the new shapes now
         state = self._run_jit(state, jnp.asarray(0, jnp.int32))
@@ -642,7 +668,7 @@ class LCPSpheresSim:
         self.__dict__.pop("_run_jit", None)
         self.__dict__.pop("_step_jit", None)
         self._step_jit = jax.jit(self._step)
-        nmat, pairs, hmat, seg_starts, ovf = self._broad_phase(state.pos)
+        nmat, pairs, hmat, seg_starts, dual_full, ovf = self._broad_phase(state.pos)
         gfull_old = jnp.zeros((old_pair_capacity,), self.dtype)
         gfull_old = gfull_old.at[state.gamma_sel].set(
             jnp.where(state.gamma_sel < old_pair_capacity, state.gamma, 0.0),
@@ -654,6 +680,8 @@ class LCPSpheresSim:
         return state.replace(
             nmat=nmat, pairs=pairs, hydro_nmat=hmat,
             seg_starts=seg_starts,
+            dual_full=dual_full,
+            prev_cum=jnp.zeros((self.pair_capacity,), jnp.int32),
             gamma=jnp.zeros((self.act_capacity,), self.dtype),
             gamma_sel=jnp.full((self.act_capacity,), self.pair_capacity,
                                jnp.int32),

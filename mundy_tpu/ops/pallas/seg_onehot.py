@@ -88,6 +88,80 @@ def strided_onehot_segment_sum(
     )(values, loc.reshape(nb, 1, W))
 
 
+def _t_kernel(B, W, g_ref, n_ref, loc_ref, t_ref):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (W, B), 1)
+    oh = (loc_ref[0, 0][:, None] == lanes).astype(jnp.bfloat16)  # (W, B)
+    n = n_ref[0]  # (3, W) f32
+    g = g_ref[0, 0]  # (W,) f32
+    v = -(n * g[None, :])  # contribution of each pair to F_i
+    # assembly: F_local (3, B) with the 3-term bf16 split (full f32 mantissa)
+    hi = v.astype(jnp.bfloat16)
+    rem = v - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(mid, oh, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(lo, oh, preferred_element_type=jnp.float32)
+    # extraction: F_i per pair = acc[:, loc] via the SAME one-hot (exact),
+    # again split so the bf16 matmuls carry the full f32 mantissa
+    ahi = acc.astype(jnp.bfloat16)
+    arem = acc - ahi.astype(jnp.float32)
+    amid = arem.astype(jnp.bfloat16)
+    alo = (arem - amid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))  # contract the B axes: (3,B)x(W,B)->(3,W)
+    fi = jax.lax.dot_general(ahi, oh, dn, preferred_element_type=jnp.float32)
+    fi = fi + jax.lax.dot_general(amid, oh, dn,
+                                  preferred_element_type=jnp.float32)
+    fi = fi + jax.lax.dot_general(alo, oh, dn,
+                                  preferred_element_type=jnp.float32)
+    t_ref[0, 0] = -jnp.sum(n * fi, axis=0)
+
+
+def strided_onehot_t(
+    gamma: Array,  # (nb, W) f32 multipliers (zero on padded slots)
+    normals: Array,  # (nb, 3, W) f32 unit normals (pad rows ignored)
+    loc: Array,  # (nb, W) int32 local body ids; outside [0, B) dropped
+    block_segments: int,  # B
+    interpret: bool = False,
+) -> Array:
+    """Fused i-side Delassus half-apply -> t (nb, W) f32.
+
+    t_p = -n_p . F_{i(p)} with F_i = sum_{p' in block, i(p')=i} -gamma n —
+    both the segmented assembly and the per-pair extraction ride ONE VMEM
+    one-hot (two matmul families), so a scalar-mobility Delassus iteration
+    needs no global (A, 3) gathers at all: with U = c F,
+        sdot_p = c_i t_p + c_j t_{dual(p)}
+    where dual(p) is the (j, i) duplicate's slot (see
+    constraints/collision.pair_dual_slots). Padded slots yield t = 0.
+
+    ref: fuses sum_collision_force + the i-side of
+    compute_rate_of_change_of_sep (`scrap/lcp_spheres/StkNgpLCP.cpp:578,635`).
+    """
+    nb, three, W = normals.shape
+    assert three == 3
+    B = block_segments
+    if W % 8 != 0 or B % 128 != 0:
+        raise ValueError(f"need W % 8 == 0 and B % 128 == 0, got {W=} {B=}")
+    kern = functools.partial(_t_kernel, B, W)
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, W), jnp.float32),
+        interpret=interpret,
+    )(gamma.reshape(nb, 1, W), normals,
+      loc.reshape(nb, 1, W)).reshape(nb, W)
+
+
 def seg_onehot_vmem_ok(window: int, block_segments: int,
                        budget: float = 12e6) -> bool:
     """The kernel's VMEM high-water estimate: the (W, B) bf16 one-hot plus

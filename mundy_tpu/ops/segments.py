@@ -115,6 +115,41 @@ def segment_sum_strided(
     return segment_sum_sorted_blocked(values, ids, n_segments, win)
 
 
+def strided_t(
+    gamma: Array,  # (nb*W,) f32 multipliers, ZERO on padded slots
+    normals: Array,  # (nb*W, 3) unit normals
+    ids: Array,  # (nb*W,) int32 body ids (block b's slots in [b*B, (b+1)*B))
+    n_segments: int,
+    windows: StridedWindows,
+) -> Array:
+    """Fused i-side Delassus half-apply on the strided layout -> (nb*W,).
+
+    t_p = -n_p . F_{i(p)}, F = strided assembly of -gamma n. On TPU f32 the
+    VMEM one-hot kernel computes both in one pass (no global gathers); the
+    fallback assembles then row-gathers.
+    """
+    B, W, nb = windows.block_bodies, windows.window, windows.nb
+    use_pallas = (jax.default_backend() == "tpu"
+                  and gamma.dtype == jnp.float32
+                  and W % 8 == 0 and B % 128 == 0)
+    if use_pallas:
+        from mundy_tpu.ops.pallas.seg_onehot import (seg_onehot_vmem_ok,
+                                                     strided_onehot_t)
+        use_pallas = seg_onehot_vmem_ok(W, B)
+    blk = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), W)
+    loc = ids - blk * B
+    if use_pallas:
+        t = strided_onehot_t(gamma.reshape(nb, W),
+                             normals.reshape(nb, W, 3).transpose(0, 2, 1),
+                             loc.reshape(nb, W), B)
+        return t.reshape(nb * W)
+    f = segment_sum_strided(-gamma[:, None] * normals, ids, n_segments,
+                            windows)
+    valid = (loc >= 0) & (loc < B)
+    fi = f[jnp.minimum(jnp.where(valid, ids, 0), n_segments - 1)]
+    return jnp.where(valid, -jnp.sum(normals * fi, axis=-1), 0.0)
+
+
 def segment_sum_sorted_blocked(
     values: Array,  # (C, D) f32, zero on padded rows
     ids: Array,  # (C,) int32 sorted ascending; pads carry >= n_segments

@@ -333,3 +333,173 @@ def test_active_pair_subset_derived_windows(rng):
     np.testing.assert_array_equal(np.asarray(sub.windows.starts),
                                   np.asarray(ref.starts))
     assert bool(sub.windows.overflow) == bool(ref.overflow)
+
+
+def _ordered_pipeline(rng, n=240, box=12.0, cap=2048):
+    """Real broad-phase fixture: ordered pair list + starts + dual slots."""
+    from mundy_tpu.constraints.collision import (body_pair_starts,
+                                                 pair_dual_slots)
+    from mundy_tpu.geom import periodic
+    from mundy_tpu.neighbor import (build_cell_list, build_pair_list_ordered,
+                                    make_cell_grid, neighbor_matrix)
+
+    metric = periodic(np.array([box] * 3))
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)))
+    grid = make_cell_grid([0, 0, 0], np.array([box] * 3), 2.4, (True,) * 3)
+    clist = build_cell_list(pos, grid, 64)
+    nmat = neighbor_matrix(pos, clist, jnp.asarray(1.2), metric=metric,
+                           max_neighbors=32, chunk=256)
+    assert not bool(nmat.overflow)
+    pairs = build_pair_list_ordered(nmat, cap)
+    assert not bool(pairs.overflow)
+    starts = body_pair_starts(nmat)
+    dual, missing = pair_dual_slots(pairs, starts, nmat)
+    assert not bool(missing)
+    return metric, pos, nmat, pairs, starts, dual
+
+
+def test_pair_dual_slots_points_at_reverse_pair(rng):
+    _metric, _pos, _nmat, pairs, _starts, dual = _ordered_pipeline(rng)
+    i = np.asarray(pairs.i)
+    j = np.asarray(pairs.j)
+    mask = np.asarray(pairs.mask)
+    d = np.asarray(dual)
+    for s in np.nonzero(mask)[0]:
+        assert mask[d[s]]
+        assert i[d[s]] == j[s] and j[d[s]] == i[s]
+        assert d[d[s]] == s  # involution
+
+
+def test_fused_drag_apply_matches_general(rng):
+    """Block-local fused Delassus apply == D^T M D chain for scalar drag,
+    arbitrary (not necessarily symmetric) gamma."""
+    from mundy_tpu.constraints.collision import (_sep_rate,
+                                                 active_pair_subset_strided,
+                                                 make_local_drag_apply)
+    from mundy_tpu.ops.segments import segment_windows
+
+    metric, pos, _nmat, pairs, starts, dual = _ordered_pipeline(rng)
+    n = pos.shape[0]
+    B, W = 32, 512
+    setup_full = collision_setup_spheres(pos, jnp.asarray(0.5), pairs,
+                                         metric=metric)
+    seg = segment_windows(pairs.i, n, B, window=512, body_starts=starts)
+    res = active_pair_subset_strided(setup_full, jnp.asarray(10.0), n, B, W,
+                                     seg.starts, dual_full=dual)
+    assert not bool(res.overflow)
+    setup = res.setup
+    dt = 1e-3
+    radius, mu = 0.5, 1.3
+    mobc = 1.0 / (6.0 * math.pi * mu * radius)
+
+    gamma = jnp.asarray(rng.normal(size=setup.sep0.shape))
+    gamma = jnp.where(setup.pairs.mask, gamma, 0.0)
+
+    def general(g):
+        f = collision_forces(setup, g, n)
+        u = local_drag_mobility(f, radius, mu)
+        return jnp.asarray(dt) * _sep_rate(setup, u)
+
+    fused = make_local_drag_apply(setup, res.dual, n, dt,
+                                  mobility_i=mobc, mobility_j=mobc)
+    ref = np.asarray(general(gamma))
+    got = np.asarray(fused(gamma))
+    m = np.asarray(setup.pairs.mask)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-10, atol=1e-12)
+
+    # per-body drag (polydisperse): per-pair mobility channels
+    radii = rng.uniform(0.3, 0.7, n)
+    invdrag = jnp.asarray(1.0 / (6.0 * math.pi * mu * radii))
+
+    def general_poly(g):
+        f = collision_forces(setup, g, n)
+        u = invdrag[:, None] * f
+        return jnp.asarray(dt) * _sep_rate(setup, u)
+
+    mi = invdrag[jnp.minimum(setup.pairs.i, n - 1)]
+    mj = invdrag[jnp.minimum(setup.pairs.j, n - 1)]
+    fused_p = make_local_drag_apply(setup, res.dual, n, dt,
+                                    mobility_i=mi, mobility_j=mj)
+    np.testing.assert_allclose(np.asarray(fused_p(gamma))[m],
+                               np.asarray(general_poly(gamma))[m],
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_strided_warm_start_gather_matches_inverse_scatter(rng):
+    """The gather-based warm map (prev_cum) == the old inverse-scatter map:
+    persisting actives carry last step's multiplier, entrants fall back to
+    the full-list snapshot."""
+    from mundy_tpu.constraints.collision import active_pair_subset_strided
+    from mundy_tpu.ops.segments import segment_windows
+
+    metric, pos, _nmat, pairs, starts, dual = _ordered_pipeline(rng)
+    n = pos.shape[0]
+    B, W = 32, 512
+    cap = pairs.i.shape[0]
+    setup_full = collision_setup_spheres(pos, jnp.asarray(0.5), pairs,
+                                         metric=metric)
+    seg = segment_windows(pairs.i, n, B, window=512, body_starts=starts)
+    # step 1: a mid margin selects a strict subset
+    m1 = jnp.asarray(float(jnp.median(jnp.where(pairs.mask, setup_full.sep0,
+                                                jnp.inf))))
+    r1 = active_pair_subset_strided(setup_full, m1, n, B, W, seg.starts)
+    gamma1 = jnp.where(r1.setup.pairs.mask,
+                       jnp.asarray(rng.normal(size=r1.sel.shape)) ** 2, 0.0)
+    gamma_full = jnp.asarray(rng.normal(size=(cap,)) ** 2)
+    # step 2: a wider margin admits entrants
+    m2 = m1 * 2.0
+    r2 = active_pair_subset_strided(setup_full, m2, n, B, W, seg.starts,
+                                    prev=(r1.cum, gamma1, W),
+                                    gamma_full=gamma_full)
+    # reference: inverse-scatter map over full slots
+    a_cap = r1.sel.shape[0]
+    inv = np.full(cap + 1, a_cap, np.int64)
+    sel1 = np.asarray(r1.sel)
+    inv[np.minimum(sel1, cap)] = np.arange(a_cap)
+    inv[cap] = a_cap
+    sel2 = np.asarray(r2.sel)
+    expect = np.zeros(a_cap)
+    g1 = np.asarray(gamma1)
+    gf = np.asarray(gamma_full)
+    for a in range(a_cap):
+        s = sel2[a]
+        if s >= cap:
+            continue
+        expect[a] = g1[inv[s]] if inv[s] < a_cap else gf[s]
+    got = np.asarray(r2.gamma0)
+    valid = sel2 < cap
+    np.testing.assert_allclose(got[valid], expect[valid], rtol=1e-12)
+    assert np.all(got[~valid] == 0.0)
+
+
+def test_strided_onehot_t_interpret_matches_fallback(rng):
+    """Pallas t-kernel (interpret mode) vs the XLA assemble+gather path."""
+    from mundy_tpu.ops.pallas.seg_onehot import strided_onehot_t
+    from mundy_tpu.ops.segments import StridedWindows, strided_t
+
+    nb, B, W = 3, 128, 32
+    n = nb * B
+    ids = []
+    for b in range(nb):
+        k = rng.integers(10, W)
+        blk_ids = np.sort(rng.integers(b * B, (b + 1) * B, k))
+        ids.append(np.concatenate([blk_ids, np.full(W - k, n)]))
+    ids = np.concatenate(ids).astype(np.int32)
+    valid = ids < n
+    gamma = np.where(valid, rng.normal(size=nb * W), 0.0).astype(np.float32)
+    normals = rng.normal(size=(nb * W, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = np.where(valid[:, None], normals, 0.0).astype(np.float32)
+
+    win = StridedWindows(block_bodies=B, window=W, nb=nb,
+                         overflow=jnp.asarray(False))
+    ref = np.asarray(strided_t(jnp.asarray(gamma), jnp.asarray(normals),
+                               jnp.asarray(ids), n, win))
+    blk = np.repeat(np.arange(nb, dtype=np.int32), W)
+    loc = ids - blk * B
+    got = np.asarray(strided_onehot_t(
+        jnp.asarray(gamma.reshape(nb, W)),
+        jnp.asarray(normals.reshape(nb, W, 3).transpose(0, 2, 1)),
+        jnp.asarray(loc.reshape(nb, W)), B, interpret=True)).reshape(-1)
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(got, ref, atol=3e-7 * scale)

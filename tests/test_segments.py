@@ -172,9 +172,10 @@ def test_active_pair_subset_strided_parity(rng):
         jnp.int32)
     seg = segment_windows(pairs.i, n, B, W, body_starts=body_starts)
     margin = 0.0
-    s_act, sel, n_act, blk_max, ovf = active_pair_subset_strided(
-        setup, margin, n, B, W, seg.starts)
-    assert not bool(ovf)
+    res = active_pair_subset_strided(setup, margin, n, B, W, seg.starts)
+    s_act, sel, n_act, blk_max = (res.setup, res.sel, res.n_act,
+                                  res.block_max)
+    assert not bool(res.overflow)
     ref_act, ref_sel, ref_n, _ref_ovf = active_pair_subset(
         setup, margin, cap, n, seg_starts=seg.starts, block_bodies=B,
         window=W)

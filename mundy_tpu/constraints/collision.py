@@ -490,6 +490,82 @@ def make_local_drag_apply(setup: CollisionSetup, dual: Array, n_bodies: int,
     return apply_A
 
 
+def assemble_block_delassus(setup: CollisionSetup) -> Array:
+    """(nb, W, W) i-side Delassus diagonal blocks on the strided layout:
+
+        M[b, p, q] = (i_p == i_q) * (n_p . n_q)      (block-local slots p, q)
+
+    The active set is FIXED across a solve's iterations, so assembling M
+    once per step turns every BBPGD iteration's i-side half-apply into a
+    bandwidth-bound batched matvec (read nb*W^2 f32 ~ 1 GB at 1M bodies,
+    ~1.3 ms on v5e) instead of the ~5 ms VMEM one-hot matmul chain whose
+    (3, W) x (W, B) shapes waste the 128-row MXU 40x. The j-side coupling
+    stays a dual-slot gather (make_block_delassus_apply).
+
+    Pure VPU construction (broadcast compares + 3 FMA per element, f32
+    exact — no MXU, no bf16): XLA fuses it into the single (nb, W, W)
+    output write. Invalid slots (mask off / id outside the block) zero
+    their row and column; the diagonal carries |n_p|^2 = 1, pair p's own
+    contribution to F_{i(p)} — identical semantics to the one-hot kernel.
+
+    ref: the assembled form of `sum_collision_force` +
+    `compute_rate_of_change_of_sep` (`scrap/lcp_spheres/StkNgpLCP.cpp:578,
+    635`) restricted to one body block; the reference keeps it matrix-free
+    on GPU, but on TPU the rebuild-once/apply-13x trade favors assembly.
+    """
+    from mundy_tpu.ops.segments import StridedWindows
+
+    windows = setup.windows
+    assert isinstance(windows, StridedWindows)
+    B, W, nb = windows.block_bodies, windows.window, windows.nb
+    ids = setup.pairs.i.reshape(nb, W)
+    blk = jnp.arange(nb, dtype=jnp.int32)[:, None] * B
+    loc = ids - blk
+    valid = setup.pairs.mask.reshape(nb, W) & (loc >= 0) & (loc < B)
+    locv = jnp.where(valid, loc, -1)
+    eq = ((locv[:, :, None] == locv[:, None, :])
+          & valid[:, :, None] & valid[:, None, :])
+    nrm = setup.normals.reshape(nb, W, 3)
+    dots = (nrm[:, :, None, 0] * nrm[:, None, :, 0]
+            + nrm[:, :, None, 1] * nrm[:, None, :, 1]
+            + nrm[:, :, None, 2] * nrm[:, None, :, 2])
+    return jnp.where(eq, dots, 0.0)
+
+
+def make_block_delassus_apply(setup: CollisionSetup, dual: Array,
+                              dt, mobility_i=None, mobility_j=None):
+    """Delassus apply via precomputed per-block matrices (scalar mobility).
+
+    u = blockdiag(M) gamma gives the i-side half-apply (u_p = t_p of
+    strided_t); the j-side is the dual pair's value:
+        (A gamma)_p = dt * (c_i u_p + c_j u_{dual(p)}).
+    Per iteration: one batched GEMV (HIGHEST precision — the bf16 default
+    would put the ~2^-8 operator noise right at the BBPGD residual floor)
+    + one (A,) gather. ~2x per-iteration over the one-hot kernel path at
+    1M bodies.
+    """
+    from mundy_tpu.ops.segments import StridedWindows
+
+    windows = setup.windows
+    assert isinstance(windows, StridedWindows)
+    W, nb = windows.window, windows.nb
+    n_slots = nb * W
+    M = assemble_block_delassus(setup)
+    ci = 1.0 if mobility_i is None else mobility_i
+    cj = 1.0 if mobility_j is None else mobility_j
+    dt = jnp.asarray(dt, setup.sep0.dtype)
+    dual_c = jnp.minimum(dual, n_slots - 1)
+
+    def apply_A(gamma):
+        g = jnp.where(setup.pairs.mask, gamma, 0.0)
+        u = jnp.einsum("bpq,bq->bp", M, g.reshape(nb, W),
+                       precision=jax.lax.Precision.HIGHEST)
+        u = u.reshape(n_slots)
+        return dt * (ci * u + cj * u[dual_c])
+
+    return apply_A
+
+
 def resolve_collisions(
     setup: CollisionSetup,
     mobility_apply: Callable[[Array], Array],

@@ -31,7 +31,7 @@ from jax import Array
 
 from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass
-from mundy_tpu.dynamics import brownian_velocity
+from mundy_tpu.dynamics import brownian_velocity_keyed
 from mundy_tpu.forces import fenewca_spring_forces, hookean_spring_forces
 from mundy_tpu.forces.contact import hertzian_contact_forces
 from mundy_tpu.geom import free_space, periodic
@@ -598,9 +598,14 @@ class ChromatinSim:
             vel = rpy_apply_neighbors(state.pos, f, state.nmat, c.bead_radius,
                                       c.viscosity, overlap_correction=True)
         if c.diffusion_coeff > 0:
-            vel = vel + brownian_velocity(state.key, state.step, self.N,
-                                          jnp.asarray(c.diffusion_coeff, self.dtype),
-                                          c.dt, dtype=self.dtype)
+            # gid-keyed counter stream (pure function of key/step/gid):
+            # dtype-invariant for the f32 drift metric, shard-local for the
+            # slab-sharded chromatin pipeline
+            vel = vel + brownian_velocity_keyed(
+                state.key, state.step,
+                jnp.arange(self.N, dtype=jnp.int32),
+                jnp.asarray(c.diffusion_coeff, self.dtype),
+                c.dt, dtype=self.dtype)
         new_pos = state.pos + jnp.asarray(c.dt, self.dtype) * vel
         if self.periodic:
             new_pos = self.metric.wrap(new_pos)

@@ -29,7 +29,7 @@ from mundy_tpu.constraints import (
 )
 from mundy_tpu.ops.segments import segment_windows
 from mundy_tpu.core.containers import pytree_dataclass
-from mundy_tpu.dynamics import brownian_velocity, euler_step
+from mundy_tpu.dynamics import brownian_velocity_keyed, euler_step
 from mundy_tpu.geom import periodic
 from mundy_tpu.mobility import (
     build_ewald_rpy,
@@ -327,7 +327,10 @@ class LCPSpheresSim:
                                                     c.num_spheres)))
         blk = np.bincount(act_i[act_i < c.num_spheres] // self.seg_block,
                           minlength=1)
-        self.act_window = max(256, (int(blk.max() * 1.5) + 255) // 256 * 256)
+        # 1.2x slack on a 128 grid: the solve's per-iteration matvec (and
+        # the block-Delassus memory) scale with nb * W (resp. nb * W^2), so
+        # window slack is paid every iteration — regrow/resize cover growth
+        self.act_window = max(128, (int(blk.max() * 1.2) + 127) // 128 * 128)
         return LCPSpheresState(
             pos=pos,
             gamma=jnp.zeros((self.act_capacity,), self.dtype),
@@ -468,7 +471,8 @@ class LCPSpheresSim:
         # inverse-scatter warm map this replaces cost 44 ms/step at 1M
         # (one (C,) scatter); see active_pair_subset_strided.
         from mundy_tpu.constraints.collision import (
-            active_pair_subset_strided, make_local_drag_apply)
+            active_pair_subset_strided, make_block_delassus_apply,
+            make_local_drag_apply)
         fused_drag = c.hydro == "none"
         act = active_pair_subset_strided(
             setup_full, self._dyn_margin(setup_full), c.num_spheres,
@@ -497,9 +501,19 @@ class LCPSpheresSim:
             else:
                 mob = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
                 mob_i = mob_j = jnp.asarray(mob, self.dtype)
-            apply_override = make_local_drag_apply(
-                setup, act.dual, c.num_spheres, c.dt,
-                mobility_i=mob_i, mobility_j=mob_j)
+            # assembled per-block Delassus (bandwidth-bound batched matvec
+            # per iteration, ~2x the one-hot kernel path) when the
+            # (nb, W, W) block matrices fit a conservative HBM budget;
+            # the matrix-free one-hot path covers wide-window regimes
+            if (self.nb_blocks * self.act_window ** 2
+                    * jnp.dtype(self.dtype).itemsize) <= 4e9:
+                apply_override = make_block_delassus_apply(
+                    setup, act.dual, c.dt,
+                    mobility_i=mob_i, mobility_j=mob_j)
+            else:
+                apply_override = make_local_drag_apply(
+                    setup, act.dual, c.num_spheres, c.dt,
+                    mobility_i=mob_i, mobility_j=mob_j)
 
         # Brownian drift is a KNOWN velocity: it enters the LCP's constant
         # term so the solve enforces non-penetration of the actual
@@ -508,10 +522,15 @@ class LCPSpheresSim:
         # ~sqrt(2 D dt) instead of max_allowable_overlap).
         u_ext = None
         if c.diffusion_coeff > 0:
-            u_ext = brownian_velocity(state.key, state.step, c.num_spheres,
-                                      jnp.asarray(c.diffusion_coeff,
-                                                  self.dtype),
-                                      c.dt, dtype=self.dtype)
+            # gid-keyed counter stream: noise is a pure function of
+            # (key, step, gid) — identical across dtypes (the f32 drift
+            # metric needs matched streams) and shard-local when the pair
+            # pipeline runs over the slab engine
+            u_ext = brownian_velocity_keyed(
+                state.key, state.step,
+                jnp.arange(c.num_spheres, dtype=jnp.int32),
+                jnp.asarray(c.diffusion_coeff, self.dtype),
+                c.dt, dtype=self.dtype)
 
         gamma, vel, res = resolve_collisions(
             setup, mobility, c.num_spheres, c.dt,
@@ -620,7 +639,7 @@ class LCPSpheresSim:
         count hovering near an alignment boundary would otherwise bounce
         the capacity (and eat a recompile) every block."""
         blk_max = int(jax.device_get(state.act_block_max))
-        target_w = max(256, (int(blk_max * 1.5) + 255) // 256 * 256)
+        target_w = max(128, (int(blk_max * 1.2) + 127) // 128 * 128)
         if target_w == self.act_window:
             self._act_shrink_streak = 0
             return state

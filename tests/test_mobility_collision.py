@@ -503,3 +503,57 @@ def test_strided_onehot_t_interpret_matches_fallback(rng):
         jnp.asarray(loc.reshape(nb, W)), B, interpret=True)).reshape(-1)
     scale = max(1.0, float(np.abs(ref).max()))
     np.testing.assert_allclose(got, ref, atol=3e-7 * scale)
+
+
+def test_block_delassus_apply_matches_general(rng):
+    """Precomputed per-block Delassus matvec == D^T M D chain for scalar
+    drag (and per-body drag), arbitrary gamma."""
+    from mundy_tpu.constraints.collision import (_sep_rate,
+                                                 active_pair_subset_strided,
+                                                 make_block_delassus_apply)
+    from mundy_tpu.ops.segments import segment_windows
+
+    metric, pos, _nmat, pairs, starts, dual = _ordered_pipeline(rng)
+    n = pos.shape[0]
+    B, W = 32, 512
+    setup_full = collision_setup_spheres(pos, jnp.asarray(0.5), pairs,
+                                         metric=metric)
+    seg = segment_windows(pairs.i, n, B, window=512, body_starts=starts)
+    res = active_pair_subset_strided(setup_full, jnp.asarray(10.0), n, B, W,
+                                     seg.starts, dual_full=dual)
+    assert not bool(res.overflow)
+    setup = res.setup
+    dt = 1e-3
+    radius, mu = 0.5, 1.3
+    mobc = 1.0 / (6.0 * math.pi * mu * radius)
+
+    gamma = jnp.asarray(rng.normal(size=setup.sep0.shape))
+    gamma = jnp.where(setup.pairs.mask, gamma, 0.0)
+
+    def general(g):
+        f = collision_forces(setup, g, n)
+        u = local_drag_mobility(f, radius, mu)
+        return jnp.asarray(dt) * _sep_rate(setup, u)
+
+    fused = make_block_delassus_apply(setup, res.dual, dt,
+                                      mobility_i=mobc, mobility_j=mobc)
+    m = np.asarray(setup.pairs.mask)
+    np.testing.assert_allclose(np.asarray(fused(gamma))[m],
+                               np.asarray(general(gamma))[m],
+                               rtol=1e-10, atol=1e-12)
+
+    radii = rng.uniform(0.3, 0.7, n)
+    invdrag = jnp.asarray(1.0 / (6.0 * math.pi * mu * radii))
+
+    def general_poly(g):
+        f = collision_forces(setup, g, n)
+        u = invdrag[:, None] * f
+        return jnp.asarray(dt) * _sep_rate(setup, u)
+
+    mi = invdrag[jnp.minimum(setup.pairs.i, n - 1)]
+    mj = invdrag[jnp.minimum(setup.pairs.j, n - 1)]
+    fused_p = make_block_delassus_apply(setup, res.dual, dt,
+                                        mobility_i=mi, mobility_j=mj)
+    np.testing.assert_allclose(np.asarray(fused_p(gamma))[m],
+                               np.asarray(general_poly(gamma))[m],
+                               rtol=1e-10, atol=1e-12)

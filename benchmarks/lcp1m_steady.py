@@ -42,8 +42,11 @@ def measure(n, buffer, settle=24, window=24, diffusion=0.1):
     fence(state.pos)
     t_init = time.perf_counter() - t0
     t0 = time.perf_counter()
-    state = sim.run_block(state, settle)
-    fence(state.pos)
+    # settle in chunks so the active-window resize (hysteresis: a shrink
+    # needs two consecutive blocks demanding it) can land before timing
+    for _ in range(3):
+        state = sim.run_block(state, settle // 3 + 1)
+        fence(state.pos)
     t_settle = time.perf_counter() - t0
     rb0 = int(state.rebuild_count)
     # warm the frozen-capacity program (one chunk) before timing

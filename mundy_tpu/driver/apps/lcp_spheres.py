@@ -148,8 +148,12 @@ class LCPSpheresSim:
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
         self.seg_block = 1024  # bodies per assembly block
         self.seg_window = max(2048, 8 * self.seg_block)
+        # the margin guards against pairs ACTIVATING within one step (its
+        # scale is the per-step displacement) — unlike the skin buffer it
+        # must not grow with the rebuild period, or wide-skin configs pay
+        # for solve slots they never use
         self.active_margin = (c.active_margin if c.active_margin is not None
-                              else 0.5 * c.constraint_buffer)
+                              else 0.5 * min(c.constraint_buffer, 0.25))
         # STRIDED active layout: block b's active pairs live at slots
         # [b*W, b*W + count_b) — static window offsets admit the VMEM
         # one-hot Pallas assembly kernel (ops/pallas/seg_onehot.py; the
@@ -506,7 +510,7 @@ class LCPSpheresSim:
             # (nb, W, W) block matrices fit a conservative HBM budget;
             # the matrix-free one-hot path covers wide-window regimes
             if (self.nb_blocks * self.act_window ** 2
-                    * jnp.dtype(self.dtype).itemsize) <= 4e9:
+                    * jnp.dtype(self.dtype).itemsize) <= 6e9:
                 apply_override = make_block_delassus_apply(
                     setup, act.dual, c.dt,
                     mobility_i=mob_i, mobility_j=mob_j)

@@ -65,6 +65,13 @@ class ChromatinConfig:
     binding_rate: float = 10.0  # A prefactor
     unbinding_rate: float = 1.0  # koff
     kt: float = 1.0
+    # bead part structure (the reference's heterochromatin/euchromatin
+    # split: HP1 binds H beads only, `HP1...neigh_linker.cpp` hp1-h vs
+    # hp1-bs searches): the leading `hetero_fraction` of every chain joins
+    # part "hetero"; crosslinker homes and binding targets are restricted
+    # to `binding_selector` (state/select.py algebra over the bead parts)
+    hetero_fraction: float = 1.0
+    binding_selector: str = "hetero"
     # confinement: spherical periphery of this radius (0 disables)
     periphery_radius: float = 0.0
     periphery_stiffness: float = 200.0
@@ -113,10 +120,19 @@ class ChromatinConfig:
 
 @pytree_dataclass
 class ChromatinState:
+    """Crosslinkers live in a state/world.LinkSet — binding state is a link
+    field, bind/unbind are mask flips + slot writes on the capacity-bounded
+    link table (exactly the reference's LinkData request/process semantics,
+    `LinkData.hpp:159-183`, without a mesh-modification cycle):
+
+      xl.indices[:, 0] = home bead (left head, fixed)
+      xl.indices[:, 1] = right-head target bead (meaningful iff active)
+      xl.active        = the doubly-bound spring exists
+      xl.fields["state"] = BINDING_STATE (LEFT_BOUND / DOUBLY_BOUND)
+    """
+
     pos: Array  # (N, 3) beads (N = chains * beads_per_chain)
-    xl_home: Array  # (X,) int32 left-head bead of each crosslinker
-    xl_state: Array  # (X,) int32 BINDING_STATE
-    xl_bound_to: Array  # (X,) int32 right-head bead (-1 unbound)
+    xl: object  # LinkSet("beads", "beads") of crosslinkers
     key: Array
     step: Array
     nmat: object
@@ -125,6 +141,19 @@ class ChromatinState:
     ref_pos: Array
     rebuild_count: Array
     overflow: Array
+
+    # raw-array views of the LinkSet (diagnostics / older callers)
+    @property
+    def xl_home(self) -> Array:
+        return self.xl.indices[:, 0]
+
+    @property
+    def xl_state(self) -> Array:
+        return self.xl.fields["state"]
+
+    @property
+    def xl_bound_to(self) -> Array:
+        return jnp.where(self.xl.active, self.xl.indices[:, 1], -1)
 
 
 class ChromatinSim:
@@ -347,14 +376,43 @@ class ChromatinSim:
                 mean = self.N / (rg.ny * rg.nz)
                 self.rows_slack = max(self.rows_slack, (need - 8) / mean)
 
+        # bead part structure + selector (state/world + state/select): the
+        # reference's hp1-h/hp1-bs split — crosslinker homes and targets
+        # come from `binding_selector` over the declared parts
+        from mundy_tpu.state.select import select
+        from mundy_tpu.state.world import EntitySet, LinkSet
+
+        per = c.beads_per_chain
+        chain_pos = np.arange(self.N) % per
+        hetero = chain_pos < max(1, int(round(c.hetero_fraction * per)))
+        beads = EntitySet(
+            fields={},
+            parts={"hetero": jnp.asarray(hetero),
+                   "euchro": jnp.asarray(~hetero),
+                   "chain_end": jnp.asarray((chain_pos == 0)
+                                            | (chain_pos == per - 1))},
+            active=jnp.ones((self.N,), bool),
+            capacity=self.N,
+        )
+        self.beads = beads
+        self.bind_allowed = select(beads, c.binding_selector)
+        allowed_idx = np.nonzero(np.asarray(self.bind_allowed))[0]
+        assert allowed_idx.size > 0, \
+            f"binding_selector {c.binding_selector!r} selects no beads"
         home = jnp.asarray(
-            rng.integers(0, self.N, size=max(self.X, 1))[: self.X], jnp.int32
+            allowed_idx[rng.integers(0, allowed_idx.size,
+                                     size=max(self.X, 1))][: self.X],
+            jnp.int32)
+        xl = LinkSet(
+            indices=jnp.stack([home, home], axis=1),
+            active=jnp.zeros((self.X,), bool),
+            fields={"state": jnp.full((self.X,), BINDING_STATE.LEFT_BOUND,
+                                      jnp.int32)},
+            targets=("beads", "beads"),
         )
         nmat, hmat, kmat, ovf = self._build_nmat(pos, home)
         return ChromatinState(
-            pos=pos, xl_home=home,
-            xl_state=jnp.full((self.X,), BINDING_STATE.LEFT_BOUND, jnp.int32),
-            xl_bound_to=jnp.full((self.X,), -1, jnp.int32),
+            pos=pos, xl=xl,
             key=ks, step=jnp.asarray(0, jnp.int32), nmat=nmat,
             hydro_nmat=hmat, kmc_nmat=kmat, ref_pos=pos,
             rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf,
@@ -488,7 +546,9 @@ class ChromatinSim:
         # rate out to the kmc_rate_floor tail, unlike the contact-scale
         # nmat (whose cutoff sits below the rest length)
         cand_idx = jnp.minimum(state.kmc_nmat.idx, self.N - 1)  # (X, K)
-        cand_mask = state.kmc_nmat.mask
+        # part-selector restriction (hp1 binds `binding_selector` beads
+        # only — the hp1-h vs hp1-bs search split of the reference)
+        cand_mask = state.kmc_nmat.mask & self.bind_allowed[cand_idx]
         # THREE scalar component gathers (see _build_kmc_candidates): any
         # (..., 3) candidate block tile-pads its minor axis to 128 lanes on
         # TPU; (X, K) planes from (N,) component arrays never do. The cubic
@@ -508,11 +568,19 @@ class ChromatinSim:
                                       c.crosslinker_rest_length, c.kt,
                                       c.binding_rate)
         out = crosslinker_kmc_step(
-            state.key, state.step, state.xl_state, state.xl_bound_to,
-            cand_idx, rates, cand_mask,
+            state.key, state.step, state.xl.fields["state"],
+            state.xl_bound_to, cand_idx, rates, cand_mask,
             koff=jnp.asarray(c.unbinding_rate, self.dtype), dt=c.dt,
         )
-        return state.replace(xl_state=out.state, xl_bound_to=out.bound_to)
+        # bind/unbind = mask flips + slot writes on the LinkSet (the
+        # LinkData request/process semantics, `LinkData.hpp:159-183`)
+        xl = state.xl
+        new_idx = xl.indices.at[:, 1].set(
+            jnp.where(out.bound_to >= 0, out.bound_to, home))
+        xl = xl.replace(indices=new_idx,
+                        active=out.state == BINDING_STATE.DOUBLY_BOUND,
+                        fields={"state": out.state})
+        return state.replace(xl=xl)
 
     def _forces(self, state: ChromatinState) -> Array:
         c = self.config
@@ -534,12 +602,12 @@ class ChromatinSim:
             metric=metric,
         )
         if self.X > 0:
-            doubly = state.xl_state == BINDING_STATE.DOUBLY_BOUND
+            # active links ARE the doubly-bound springs
             f = f + hookean_spring_forces(
-                pos, state.xl_home, jnp.maximum(state.xl_bound_to, 0),
+                pos, state.xl.indices[:, 0], state.xl.indices[:, 1],
                 jnp.asarray(c.crosslinker_k, self.dtype),
                 jnp.asarray(c.crosslinker_rest_length, self.dtype),
-                mask=doubly, metric=metric,
+                mask=state.xl.active, metric=metric,
             )
         if c.periphery_radius > 0:
             # spherical wall: Hertzian-like push-back when beads poke out

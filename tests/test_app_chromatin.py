@@ -191,3 +191,29 @@ def test_kmc_candidate_compaction_overflow_flagged():
     # rows stay well-formed: masked slots hold real bead indices
     idx = np.asarray(nmat.idx)[0][np.asarray(nmat.mask)[0]]
     assert ((idx >= 0) & (idx < sim.N)).all()
+
+
+def test_binding_selector_restricts_targets():
+    """Part algebra drives KMC: with a hetero/euchro split, crosslinkers
+    home on and bind only `binding_selector` beads (the reference's hp1-h
+    vs hp1-bs search split)."""
+    cfg = ChromatinConfig(num_chains=2, beads_per_chain=64, num_crosslinkers=48,
+                          hetero_fraction=0.5, binding_selector="hetero",
+                          binding_rate=500.0, unbinding_rate=0.0,
+                          diffusion_coeff=0.05, dt=2e-4, num_steps=150,
+                          dtype="float64", chunk=256, log_every=1000)
+    sim = ChromatinSim(cfg)
+    state = sim.init()
+    per = cfg.beads_per_chain
+    hetero = (np.arange(sim.N) % per) < per // 2
+    assert hetero[np.asarray(state.xl_home)].all()
+    state = sim.run_block(state, 150)
+    st = np.asarray(state.xl_state)
+    bt = np.asarray(state.xl_bound_to)
+    assert (st == BINDING_STATE.DOUBLY_BOUND).any()  # rate high: some bind
+    bound = bt[st == BINDING_STATE.DOUBLY_BOUND]
+    assert hetero[bound].all()  # never a euchro target
+    # the complement selector works too
+    from mundy_tpu.state.select import select
+    eu = np.asarray(select(sim.beads, "!hetero"))
+    assert not eu[bound].any()

@@ -146,7 +146,11 @@ class LCPSpheresSim:
         self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
                                    (True,) * 3, self.dtype)
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
-        self.seg_block = 1024  # bodies per assembly block
+        # 512 bodies per assembly block: the per-iteration Delassus matvec
+        # reads nb * W^2 floats, and W scales with B (mean pairs/block) —
+        # halving B halves the assembled-block memory AND the matvec time
+        # (B must stay a multiple of 128 for the one-hot kernel fallback)
+        self.seg_block = 512
         self.seg_window = max(2048, 8 * self.seg_block)
         # the margin guards against pairs ACTIVATING within one step (its
         # scale is the per-step displacement) — unlike the skin buffer it
@@ -162,8 +166,11 @@ class LCPSpheresSim:
         # run blocks; total active capacity = nb * W.
         self.nb_blocks = -(-c.num_spheres // self.seg_block)
         self.act_window = 512
-        # rows-broad-phase caps, grown by regrow() on overflow
-        self.rows_k = 12
+        # rows-broad-phase caps, grown by regrow() on overflow; K starts
+        # generous (wide skin buffers raise the in-cutoff neighbor count —
+        # K=12 overflows at buffer 0.5) and init() right-sizes it DOWN to
+        # the measured max occupancy, so the slack costs one init rebuild
+        self.rows_k = 20
         self.rows_slack = 1.9
         self.ewald = None
         self.spectral = None

@@ -34,7 +34,9 @@ def _registry():
         """Engine selection for config #3: the gather-free row narrow phase
         (rods_rows.RowRodsSim) when the box admits it, else the (N, K)
         neighbor-matrix engine."""
-        if config.engine == "nmat":
+        if config.engine == "nmat" or config.shape == "ellipsoid":
+            # the ellipsoid narrow phase runs per (i, k) candidate pair on
+            # the neighbor matrix; the row stencil is segment-specific
             return RodsSim(config)
         cutoff = config.length + 2 * config.radius + config.skin
         feasible = int(config.box_size // cutoff) >= 5

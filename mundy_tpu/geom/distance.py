@@ -473,7 +473,9 @@ def _foot_point_from_normal(nhat_lab: Array, ell: Ellipsoid) -> Array:
 
 def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
                                  metric: Optional[Metric] = None,
-                                 newton_iters: int = 48) -> SepResult:
+                                 newton_iters: int = 48,
+                                 refine: str = "none",
+                                 refine_iters: int = 12) -> SepResult:
     """Shared-normal signed separation between two ellipsoids.
 
     Mirrors the reference's in-kernel minimization
@@ -484,6 +486,14 @@ def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
     gradient descent directly on the unit-sphere of normals (autodiff
     gradient, fixed iterations) from the same multistart budget — no angle
     chart, no gimbal issues, fully vmappable.
+
+    `refine="lbfgs"` then polishes the winning normal with the batched
+    no-alloc L-BFGS (math/lbfgs.py — the reference's own minimize.hpp
+    pairing) on a LOCAL 2-parameter chart n(t) ∝ best_n + t0 u + t1 v
+    (u, v orthonormal ⊥ best_n; gimbal-free around the optimum, unlike a
+    global angle chart). Superlinear tail convergence: sharpens the PGD
+    answer by ~2-3 digits on strongly anisotropic pairs for a handful of
+    curvature-aware iterations (`refine_iters`).
     """
     c2 = e2.center + _image_shift(e1.center, e2.center, metric)
     e2 = e2.replace(center=c2)
@@ -524,6 +534,61 @@ def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
         take = (f_c < best_f)[..., None]
         best_n = normalize(jnp.where(take, n_c, best_n), eps=_EPS)
         best_f = jnp.minimum(best_f, f_c)
+
+    if refine == "lbfgs":
+        from mundy_tpu.math.lbfgs import minimize_lbfgs
+
+        # orthonormal tangent frame (u, v) at best_n: pick the seed axis
+        # least aligned with best_n, Gram-Schmidt the pair
+        seed = jnp.where((jnp.abs(best_n[..., :1]) < 0.9),
+                         jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0],
+                                                      best_n.dtype),
+                                          best_n.shape),
+                         jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0],
+                                                      best_n.dtype),
+                                          best_n.shape))
+        u = normalize(seed - dot(seed, best_n)[..., None] * best_n, eps=_EPS)
+        v = jnp.cross(best_n, u)
+
+        batch = best_n.shape[:-1]
+
+        def chart_obj(t, n0, uu, vv, p1, p2):
+            n = normalize(n0 + t[..., 0, None] * uu + t[..., 1, None] * vv,
+                          eps=_EPS)
+            g1 = _foot_point_from_normal(n, p1)
+            g2 = _foot_point_from_normal(-n, p2)
+            return jnp.sum((g2 - g1) ** 2, axis=-1)
+
+        t0 = jnp.zeros(batch + (2,), best_n.dtype)
+        if batch:
+            import math as _m
+            flat = _m.prod(batch)
+            tt0 = t0.reshape(flat, 2)
+            nn0 = best_n.reshape(flat, 3)
+            uu0 = u.reshape(flat, 3)
+            vv0 = v.reshape(flat, 3)
+            p1f = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, batch + x.shape[len(batch):])
+                .reshape((flat,) + x.shape[len(batch):]), e1)
+            p2f = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, batch + x.shape[len(batch):])
+                .reshape((flat,) + x.shape[len(batch):]), e2)
+            res = jax.vmap(
+                lambda t, n0, uu, vv, q1, q2: minimize_lbfgs(
+                    lambda tv: chart_obj(tv, n0, uu, vv, q1, q2), t,
+                    max_iters=refine_iters, memory=4))(
+                tt0, nn0, uu0, vv0, p1f, p2f)
+            t_ref = res.x.reshape(batch + (2,))
+            f_ref = res.f.reshape(batch)
+        else:
+            res = minimize_lbfgs(
+                lambda tv: chart_obj(tv, best_n, u, v, e1, e2), t0,
+                max_iters=refine_iters, memory=4)
+            t_ref, f_ref = res.x, res.f
+        n_ref = normalize(best_n + t_ref[..., 0, None] * u
+                          + t_ref[..., 1, None] * v, eps=_EPS)
+        take = (f_ref < best_f)[..., None]
+        best_n = normalize(jnp.where(take, n_ref, best_n), eps=_EPS)
 
     f1 = _foot_point_from_normal(best_n, e1)
     f2 = _foot_point_from_normal(-best_n, e2)

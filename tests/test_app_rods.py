@@ -73,3 +73,43 @@ def test_deterministic():
     s2 = sim.run_block(sim.init(), 20)
     np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
     np.testing.assert_array_equal(np.asarray(s1.quat), np.asarray(s2.quat))
+
+
+def test_ellipsoid_shape_overlaps_relax():
+    """shape="ellipsoid": prolate ellipsoids resolve overlaps through the
+    in-kernel shared-normal minimization (PGD + L-BFGS polish) — the
+    reference's EllipsoidEllipsoid narrow phase in a production pipeline."""
+    sim = RodsSim(cfg(num_rods=80, shape="ellipsoid", engine="nmat",
+                      num_steps=50))
+    state = sim.init()
+    f0, _ = sim._contact_forces_torques_ellipsoid(state.pos, state.quat,
+                                                  state.nmat)
+    assert float(jnp.max(jnp.abs(f0))) > 0  # random init has contacts
+    state = sim.run_block(state, 250)
+    assert not bool(state.overflow)
+    f1, _ = sim._contact_forces_torques_ellipsoid(state.pos, state.quat,
+                                                  state.nmat)
+    # overlaps relax: residual contact force far below the initial
+    assert float(jnp.max(jnp.abs(f1))) < 0.3 * float(jnp.max(jnp.abs(f0)))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(state.quat), axis=1),
+                               1.0, atol=1e-9)
+
+
+def test_ellipsoid_anisotropic_torque():
+    """Two crossed prolate ellipsoids: the shared-normal contact produces
+    equal-and-opposite forces and a torque that rotates them apart."""
+    sim = RodsSim(cfg(num_rods=2, shape="ellipsoid", engine="nmat"))
+    state = sim.init()
+    from mundy_tpu.math.quaternion import quat_from_axis_angle
+
+    qx = quat_from_axis_angle(jnp.asarray([0.0, 1, 0], jnp.float64), jnp.pi / 2)
+    qy = quat_from_axis_angle(jnp.asarray([1.0, 0, 0], jnp.float64), jnp.pi / 2)
+    pos = jnp.asarray([[7.0, 7.0, 7.0], [7.5, 7.0, 7.4]], jnp.float64)
+    state = state.replace(pos=pos, quat=jnp.stack([qx, qy]))
+    state = sim._rebuild(state)
+    f, tau = sim._contact_forces_torques_ellipsoid(state.pos, state.quat,
+                                                   state.nmat)
+    f, tau = np.asarray(f), np.asarray(tau)
+    assert f[0, 2] < 0 < f[1, 2]  # pushed apart along z
+    np.testing.assert_allclose(f.sum(axis=0), 0.0, atol=1e-8)
+    assert abs(tau[0, 1]) > 1e-8  # off-center contact -> torque

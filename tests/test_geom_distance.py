@@ -340,3 +340,41 @@ def test_batched_and_jitted(rng):
     out = f(Sphere(c1, r1), Sphere(c2, r2))
     expect = np.linalg.norm(np.asarray(c2 - c1), axis=1) - np.asarray(r1 + r2)
     np.testing.assert_allclose(np.asarray(out.dist), expect, atol=1e-12)
+
+
+def test_ellipsoid_lbfgs_refine_sharpens_pgd():
+    """The L-BFGS chart polish (math/lbfgs.py — the reference's own
+    minimize.hpp pairing, EllipsoidEllipsoid.hpp:45-110) improves on the
+    PGD answer on strongly anisotropic pairs, batched via vmap."""
+    import numpy as np
+    from mundy_tpu.geom.primitives import Ellipsoid
+    from mundy_tpu.geom import random_unit_quaternions
+
+    rng = np.random.default_rng(3)
+    B = 16
+    q1 = random_unit_quaternions(jax.random.PRNGKey(0), B, dtype=jnp.float64)
+    q2 = random_unit_quaternions(jax.random.PRNGKey(1), B, dtype=jnp.float64)
+    c1 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)))
+    c2 = c1 + jnp.asarray(rng.uniform(1.5, 4.0, (B, 1))) * jnp.asarray(
+        rng.normal(size=(B, 3)) / np.linalg.norm(rng.normal(size=(B, 3)),
+                                                 axis=1, keepdims=True))
+    radii = jnp.asarray(np.broadcast_to([2.2, 0.6, 0.25], (B, 3)))
+    e1 = Ellipsoid(center=c1, radii=radii, orientation=q1)
+    e2 = Ellipsoid(center=c2, radii=radii, orientation=q2)
+
+    truth = distance_ellipsoid_ellipsoid(e1, e2, newton_iters=3000)
+    coarse = distance_ellipsoid_ellipsoid(e1, e2, newton_iters=48)
+    polished = distance_ellipsoid_ellipsoid(e1, e2, newton_iters=48,
+                                            refine="lbfgs", refine_iters=20)
+    err_c = np.abs(np.asarray(coarse.dist - truth.dist))
+    err_p = np.abs(np.asarray(polished.dist - truth.dist))
+    # on STRONG anisotropy (8.8:1 axes) the decaying-step PGD stalls at
+    # O(0.1) errors — the curvature-aware polish is what makes the answer
+    # correct (errors ~1e-12), exactly the reference's reason for running
+    # L-BFGS in-kernel. It never loses (keeps the PGD answer unless the
+    # objective improves); rare basin mismatches vs the 3000-iter truth
+    # are the multistart's choice, not the polish's.
+    assert err_p.max() <= err_c.max() + 1e-12
+    assert (err_p < 1e-8).sum() >= B - 2, err_p
+    assert np.median(err_p) < 1e-10
+    assert np.median(err_c) > 1e-2  # PGD alone genuinely isn't enough here

@@ -74,6 +74,16 @@ def measure(n, buffer, settle=24, window=24, diffusion=0.1):
         "overflow": bool(state.overflow),
         "t_init_s": round(t_init, 1), "t_settle_s": round(t_settle, 1),
     }
+    if out["overflow"]:
+        # overflow-source breakdown (which capacity tripped)
+        nmat, pairs, hmat, seg_starts, dual_full, _ = sim._broad_phase(state.pos)
+        print(json.dumps({
+            "overflow_sources": {
+                "nmat": bool(nmat.overflow),
+                "pairs": bool(pairs.overflow),
+                "act_block_max_vs_W": [int(state.act_block_max),
+                                       sim.act_window],
+            }}), flush=True)
     print(json.dumps(out), flush=True)
     return out
 

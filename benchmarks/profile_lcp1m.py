@@ -71,7 +71,8 @@ def main(n=1_000_000):
 
     box = (n * (4 / 3) * math.pi * 0.125 / 0.05) ** (1 / 3)
     c = LCPSpheresConfig(num_spheres=n, box_size=float(box), radius=0.5,
-                         dt=1e-3, diffusion_coeff=0.1)
+                         dt=1e-3, diffusion_coeff=0.1,
+                         constraint_buffer=float(__import__('os').environ.get('LCP_BUFFER', 0.2)))
     sim = LCPSpheresSim(c)
     state = sim.init()
     print(f"n={n} pair_capacity={sim.pair_capacity} act_capacity={sim.act_capacity} "
@@ -161,6 +162,31 @@ def main(n=1_000_000):
                                   mobility_j=jnp.asarray(mob_c, dtype))
     loop_time(lambda g: 0.999 * g + 0.001 * fused(g), 32,
               "apply_A fused (strided_t + dual)", gamma)
+
+    # assembled block-Delassus apply (matvec + dual gather per iteration)
+    from mundy_tpu.constraints.collision import (assemble_block_delassus,
+                                                 make_block_delassus_apply)
+    timeit(jax.jit(lambda t: assemble_block_delassus(
+        setup_act._replace(sep0=setup_act.sep0 + 0.0 * t))),
+        jnp.asarray(0.0, dtype), iters=4,
+        tag="assemble_block_delassus (per step)")
+    blk_apply = make_block_delassus_apply(setup_act, dual_act, c.dt,
+                                          mobility_i=jnp.asarray(mob_c, dtype),
+                                          mobility_j=jnp.asarray(mob_c, dtype))
+    loop_time(lambda g: 0.999 * g + 0.001 * blk_apply(g), 32,
+              "apply_A block-matvec (M gamma + dual)", gamma)
+
+    # the full solve at forced iteration counts with the block apply
+    from mundy_tpu.math.convex import PGDConfig, solve_lcp
+    for K in (8, 15):
+        def solve_only(g0):
+            cfg_s = PGDConfig(max_iters=K, tol=1e-12, bb_rule="alternating",
+                              residual="projected_gradient")
+            r = solve_lcp(blk_apply, setup_act.sep0, x0=g0, config=cfg_s,
+                          mask=setup_act.pairs.mask)
+            return r.x
+        loop_time(lambda g: 0.999*g + 0.001*solve_only(g), 8,
+                  f"solve_only({K} iters, block apply)", gamma)
 
     # solver-iteration overhead: dots + residual + projections
     def iter_overhead(g):

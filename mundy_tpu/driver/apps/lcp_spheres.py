@@ -146,11 +146,12 @@ class LCPSpheresSim:
         self.grid = make_cell_grid([0, 0, 0], box, 2 * self.search_radius,
                                    (True,) * 3, self.dtype)
         self.pair_capacity = c.pair_capacity_per_body * c.num_spheres
-        # 512 bodies per assembly block: the per-iteration Delassus matvec
-        # reads nb * W^2 floats, and W scales with B (mean pairs/block) —
-        # halving B halves the assembled-block memory AND the matvec time
-        # (B must stay a multiple of 128 for the one-hot kernel fallback)
-        self.seg_block = 512
+        # 1024 bodies per assembly block. The per-iteration Delassus matvec
+        # reads nb * W^2 floats, which argues for small B — but W is set by
+        # the MAX per-block active count, whose relative fluctuation grows
+        # as blocks shrink (measured: B=512 left W at 2.3x the mean and ran
+        # 20% SLOWER than B=1024 at 1M bodies), so B=1024 is the sweet spot
+        self.seg_block = 1024
         self.seg_window = max(2048, 8 * self.seg_block)
         # the margin guards against pairs ACTIVATING within one step (its
         # scale is the per-step displacement) — unlike the skin buffer it

@@ -170,23 +170,53 @@ def main(n=1_000_000):
         setup_act._replace(sep0=setup_act.sep0 + 0.0 * t))),
         jnp.asarray(0.0, dtype), iters=4,
         tag="assemble_block_delassus (per step)")
-    blk_apply = make_block_delassus_apply(setup_act, dual_act, c.dt,
-                                          mobility_i=jnp.asarray(mob_c, dtype),
-                                          mobility_j=jnp.asarray(mob_c, dtype))
-    loop_time(lambda g: 0.999 * g + 0.001 * blk_apply(g), 32,
-              "apply_A block-matvec (M gamma + dual)", gamma)
+    # M as an ARGUMENT (baking the (nb, W, W) constant into the program
+    # overflows the remote-compile request at 1M)
+    M = jax.jit(lambda t: assemble_block_delassus(
+        setup_act._replace(sep0=setup_act.sep0 + 0.0 * t)))(
+        jnp.asarray(0.0, dtype))
+    nb_, W_ = M.shape[0], M.shape[1]
+    n_slots = nb_ * W_
+    dual_c = jnp.minimum(dual_act, n_slots - 1)
+    dt_s = jnp.asarray(c.dt, dtype)
+    mobc = jnp.asarray(mob_c, dtype)
+
+    def blk_apply(Mv, g):
+        gg = jnp.where(setup_act.pairs.mask, g, 0.0)
+        u = jnp.einsum("bpq,bq->bp", Mv, gg.reshape(nb_, W_),
+                       precision=jax.lax.Precision.HIGHEST).reshape(n_slots)
+        return dt_s * mobc * (u + u[dual_c])
+
+    @jax.jit
+    def mv_loop(Mv, g):
+        def body(_, gg):
+            return 0.999 * gg + 0.001 * blk_apply(Mv, gg)
+        return jax.lax.fori_loop(0, 32, body, g)
+
+    out = mv_loop(M, gamma); fence(out)
+    t0 = time.perf_counter(); out = mv_loop(M, gamma); fence(out)
+    print(f"{'apply_A block-matvec (M gamma + dual)':40s} "
+          f"{(time.perf_counter()-t0)/32*1e3:9.2f} ms/iter", flush=True)
 
     # the full solve at forced iteration counts with the block apply
     from mundy_tpu.math.convex import PGDConfig, solve_lcp
     for K in (8, 15):
-        def solve_only(g0):
-            cfg_s = PGDConfig(max_iters=K, tol=1e-12, bb_rule="alternating",
-                              residual="projected_gradient")
-            r = solve_lcp(blk_apply, setup_act.sep0, x0=g0, config=cfg_s,
-                          mask=setup_act.pairs.mask)
-            return r.x
-        loop_time(lambda g: 0.999*g + 0.001*solve_only(g), 8,
-                  f"solve_only({K} iters, block apply)", gamma)
+        cfg_s = PGDConfig(max_iters=K, tol=1e-12, bb_rule="alternating",
+                          residual="projected_gradient")
+
+        @jax.jit
+        def solve_loop(Mv, g):
+            def body(_, gg):
+                r = solve_lcp(lambda x: blk_apply(Mv, x), setup_act.sep0,
+                              x0=gg, config=cfg_s,
+                              mask=setup_act.pairs.mask)
+                return 0.999 * gg + 0.001 * r.x
+            return jax.lax.fori_loop(0, 4, body, g)
+
+        out = solve_loop(M, gamma); fence(out)
+        t0 = time.perf_counter(); out = solve_loop(M, gamma); fence(out)
+        print(f"{f'solve_only({K} iters, block apply)':40s} "
+              f"{(time.perf_counter()-t0)/4*1e3:9.2f} ms/solve", flush=True)
 
     # solver-iteration overhead: dots + residual + projections
     def iter_overhead(g):

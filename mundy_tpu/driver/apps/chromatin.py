@@ -80,7 +80,10 @@ class ChromatinConfig:
     # "rpy_periphery" = full RPY + no-slip periphery BIE correction (the
     # reference's fullest pipeline, `HP1...neigh_linker.cpp:1487-1493` +
     # FastDirectPeriphery::compute_surface_forces); needs periphery_radius
-    hydro: str = "none"  # "none" | "rpy_neighbors" | "rpy_spectral" | "rpy_periphery"
+    # "rpy_periphery_spectral" = free-space spectral Stokes ambient flow
+    # (mobility/freespace.py, O(N log N) on a padded FFT grid — the
+    # confined-domain PVFMM role) + the same periphery BIE correction
+    hydro: str = "none"  # "none" | "rpy_neighbors" | "rpy_spectral" | "rpy_periphery" | "rpy_periphery_spectral"
     periphery_order: int = 12  # BIE quadrature order (Q = 2(order+1)^2)
     periphery_cache: str = ""  # optional path caching the dense M^-1
     # periodic box edge; 0 = free space. Required for "rpy_spectral" (the
@@ -105,14 +108,14 @@ class ChromatinConfig:
 
     def __validate__(self):
         assert self.hydro in ("none", "rpy_neighbors", "rpy_spectral",
-                              "rpy_periphery"), \
+                              "rpy_periphery", "rpy_periphery_spectral"), \
             f"hydro '{self.hydro}' not one of: none, rpy_neighbors, " \
-            "rpy_spectral, rpy_periphery"
+            "rpy_spectral, rpy_periphery, rpy_periphery_spectral"
         if self.hydro == "rpy_spectral":
             assert self.box_size > 0, "rpy_spectral needs a periodic box_size"
-        if self.hydro == "rpy_periphery":
+        if self.hydro in ("rpy_periphery", "rpy_periphery_spectral"):
             assert self.periphery_radius > 0, \
-                "rpy_periphery needs a periphery_radius confinement"
+                f"{self.hydro} needs a periphery_radius confinement"
         assert self.periphery_radius == 0 or self.box_size == 0, \
             "periphery confinement and a periodic box are exclusive"
         assert self.num_crosslinkers >= 0
@@ -225,11 +228,34 @@ class ChromatinSim:
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.bead_radius)
         self.rows_slack = 1.9  # rows-broad-phase slot slack (regrow-grown)
         self.periphery = None
-        if c.hydro == "rpy_periphery":
+        if c.hydro in ("rpy_periphery", "rpy_periphery_spectral"):
             from mundy_tpu.mobility.periphery import build_sphere_periphery
             self.periphery = build_sphere_periphery(
                 c.periphery_order, c.periphery_radius,
                 cache_path=c.periphery_cache or None, dtype=self.dtype)
+        self.freespace = None
+        if c.hydro == "rpy_periphery_spectral":
+            # free-space spectral ambient over the confining sphere's
+            # bounding box; r_cut from the LOCAL (touching-chain) spacing
+            from mundy_tpu.mobility.freespace import (build_freespace_stokes,
+                                                      freespace_geometry)
+            rp = c.periphery_radius
+            r_cut = min(0.5 * rp, 3.5 * 2.0 * c.bead_radius)
+            self.freespace = build_freespace_stokes(
+                2.0 * rp, c.bead_radius, c.viscosity,
+                origin=(-rp, -rp, -rp), extent=2.0 * rp,
+                r_cut=r_cut, tol=1e-4, dtype=self.dtype)
+            self.fs_geom = freespace_geometry(self.freespace, self.N,
+                                              capacity_slack=3.0)
+            self.fs_hydro_search = 0.5 * self.freespace.se.base.r_cut
+            self.fs_hydro_K = 96
+            # dedicated grid: the CONTACT grid's cell edge sits far below
+            # r_cut, and neighbor_matrix's 27-cell stencil only reaches one
+            # cell — a wide search on a narrow grid silently drops pairs
+            self.fs_grid = make_cell_grid(
+                -rp * np.ones(3), rp * np.ones(3),
+                2.0 * self.fs_hydro_search, (False,) * 3, self.dtype)
+            self.fs_cell_capacity = 256
         self.spectral = None
         if c.hydro == "rpy_spectral":
             from mundy_tpu.mobility.spectral import make_se_geometry
@@ -353,6 +379,21 @@ class ChromatinSim:
                 self.se_geom = g._replace(R=need)
             if self._mesh is not None:
                 self._make_sharded_se()
+
+        if self.freespace is not None:
+            # same measured-occupancy right-sizing for the free-space
+            # padded-grid binning (the Poisson bound is hopeless here: the
+            # padded box is mostly empty while the chains are clustered)
+            g = self.fs_geom
+            hb = self.freespace.se.base.box / g.G
+            p = np.asarray(pos) - np.asarray(self.freespace.origin)[None, :]
+            nyz = g.G // g.m
+            iy = np.clip((p[:, 1] / (g.m * hb)).astype(int), 0, nyz - 1)
+            iz = np.clip((p[:, 2] / (g.m * hb)).astype(int), 0, nyz - 1)
+            occ = int(np.bincount(iy * nyz + iz, minlength=nyz * nyz).max())
+            need = ((int(occ * 1.5) + 8 + 7) // 8) * 8
+            if need > g.R:
+                self.fs_geom = g._replace(R=need)
 
         if self.periodic:
             # right-size the contact-rows slack from the MEASURED initial
@@ -532,7 +573,17 @@ class ChromatinSim:
             ovf = ovf | kovf
         else:
             kmat = nmat
-        return nmat, nmat, kmat, ovf
+        hmat = nmat
+        if self.freespace is not None:
+            # dedicated hydro search at the free-space operator's r_cut
+            # (the contact nmat's cutoff sits far below it)
+            hcl = build_cell_list(pos, self.fs_grid, self.fs_cell_capacity)
+            hmat = neighbor_matrix(
+                pos, hcl, jnp.asarray(self.fs_hydro_search, self.dtype),
+                metric=None, max_neighbors=self.fs_hydro_K,
+                chunk=min(c.chunk, max(256, self.N)))
+            ovf = ovf | hcl.overflow | hmat.overflow
+        return nmat, hmat, kmat, ovf
 
     # ------------------------------------------------------------------
     def _kmc(self, state: ChromatinState) -> ChromatinState:
@@ -646,6 +697,19 @@ class ChromatinSim:
                 # both SE binning rows and 3D cells drop bodies on overflow
                 state = state.replace(
                     overflow=state.overflow | cells.overflow | se_ovf)
+        elif c.hydro == "rpy_periphery_spectral":
+            # free-space spectral ambient (O(N log N) padded-grid FFT) +
+            # the same BIE no-slip correction; u at the surface quadrature
+            # stays the exact dense sum (O(N * Q), linear in N)
+            from mundy_tpu.mobility import no_slip_correction, rpy_flow_at
+            from mundy_tpu.mobility.freespace import freespace_rpy_apply
+            vel, fs_ovf = freespace_rpy_apply(self.freespace, state.pos, f,
+                                              state.hydro_nmat,
+                                              geom=self.fs_geom)
+            state = state.replace(overflow=state.overflow | fs_ovf)
+            u_surf = rpy_flow_at(self.periphery.points, state.pos, f,
+                                 c.bead_radius, c.viscosity)
+            vel = vel + no_slip_correction(self.periphery, u_surf, state.pos)
         elif c.hydro == "rpy_periphery":
             # the reference's fullest pipeline: all-pairs RPY drift with the
             # no-slip periphery BIE correction — ambient flow evaluated at

@@ -205,9 +205,12 @@ def freespace_wave_apply_dense(op: FreeSpaceStokes, geom, pos: Array,
 
 
 def freespace_rpy_apply(op: FreeSpaceStokes, pos: Array, forces: Array,
-                        nmat, geom=None, pieces=None) -> Array:
+                        nmat, geom=None, pieces=None):
     """Full free-space RPY product: real (screened tables over the
     neighbor structure, no metric — free space) + wave (padded FFT) + self.
+    Returns (u, overflow) — an overflowed gridding row DROPS bodies from
+    the wave sum (silently wrong hydrodynamics), so callers must fold the
+    flag into their sticky overflow state.
 
     Matches mobility.rpy dense free-space RPY to the builder tolerance on
     confined configs (tests/test_freespace.py)."""
@@ -216,13 +219,14 @@ def freespace_rpy_apply(op: FreeSpaceStokes, pos: Array, forces: Array,
 
     u = ewald_real_apply(op.se.base, pos, forces, nmat,
                          free_space(pos.dtype))
+    ovf = jnp.asarray(False)
     if geom is not None:
-        uw, _ovf = freespace_wave_apply_dense(op, geom, pos, forces,
-                                              pieces=pieces)
+        uw, ovf = freespace_wave_apply_dense(op, geom, pos, forces,
+                                             pieces=pieces)
         u = u + uw
     else:
         u = u + freespace_wave_apply(op, pos, forces)
-    return u + op.se.base.self_coeff * forces
+    return u + op.se.base.self_coeff * forces, ovf
 
 
 def freespace_geometry(op: FreeSpaceStokes, n_particles: int,

@@ -217,3 +217,37 @@ def test_binding_selector_restricts_targets():
     from mundy_tpu.state.select import select
     eu = np.asarray(select(sim.beads, "!hetero"))
     assert not eu[bound].any()
+
+
+def test_periphery_spectral_matches_dense():
+    """hydro="rpy_periphery_spectral" (free-space spectral ambient + BIE
+    correction) reproduces the dense rpy_periphery velocities on a confined
+    config and runs stably."""
+    kw = dict(num_chains=2, beads_per_chain=48, num_crosslinkers=16,
+              periphery_radius=8.0, periphery_order=8,
+              diffusion_coeff=0.0, dt=1e-4, num_steps=20,
+              max_neighbors=64, cell_capacity=64,
+              dtype="float64", chunk=256, log_every=1000)
+    sim_d = ChromatinSim(ChromatinConfig(hydro="rpy_periphery", **kw))
+    sim_s = ChromatinSim(ChromatinConfig(hydro="rpy_periphery_spectral", **kw))
+    state_d = sim_d.init()
+    state_s = sim_s.init()
+    np.testing.assert_allclose(np.asarray(state_d.pos),
+                               np.asarray(state_s.pos), atol=0)
+
+    # one step from the identical start: velocities (= dpos/dt) must agree
+    # to the spectral tolerance
+    s_d = sim_d.run_block(state_d, 1)
+    s_s = sim_s.run_block(state_s, 1)
+    dp_d = np.asarray(s_d.pos - state_d.pos)
+    dp_s = np.asarray(s_s.pos - state_s.pos)
+    scale = np.abs(dp_d).max()
+    assert np.abs(dp_s - dp_d).max() < 2e-3 * scale, (
+        np.abs(dp_s - dp_d).max() / scale)
+
+    # a longer spectral run stays finite and confined
+    s_s = sim_s.run_block(s_s, 20)
+    assert not bool(s_s.overflow)
+    p = np.asarray(s_s.pos)
+    assert np.isfinite(p).all()
+    assert (np.linalg.norm(p, axis=1) < 8.5).all()

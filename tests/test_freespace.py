@@ -56,7 +56,7 @@ def test_freespace_matches_dense_rpy(rng, tol):
     nmat = _nmat_for(op, pos, domain, origin)
     assert not bool(nmat.overflow)
 
-    u = freespace_rpy_apply(op, pos, f, nmat)
+    u, _ovf = freespace_rpy_apply(op, pos, f, nmat)
     u_ref = rpy_apply_dense(pos, f, radius, visc, include_self=True)
     err = float(jnp.max(jnp.abs(u - u_ref)) / jnp.max(jnp.abs(u_ref)))
     assert err < 5.0 * tol, err
@@ -73,7 +73,7 @@ def test_freespace_no_periodic_images(rng):
     op = build_freespace_stokes(domain, radius, visc, origin=(0.0, 0.0, 0.0),
                                 tol=1e-4, n_particles=2, dtype=jnp.float64)
     nmat = _nmat_for(op, pos, domain, (0.0, 0.0, 0.0))
-    u = freespace_rpy_apply(op, pos, f, nmat)
+    u, _ovf = freespace_rpy_apply(op, pos, f, nmat)
     u_ref = rpy_apply_dense(pos, f, radius, visc, include_self=True)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
                                rtol=0, atol=3e-4 * float(jnp.max(jnp.abs(u_ref))))
@@ -97,7 +97,7 @@ def test_freespace_symmetric_and_decaying(rng):
 
     def apply(fv):
         return freespace_rpy_apply(op, pos, jnp.asarray(fv, jnp.float64),
-                                   nmat)
+                                   nmat)[0]
 
     e = np.zeros((3, 3))
     m = np.zeros((9, 9))

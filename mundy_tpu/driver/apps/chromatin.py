@@ -622,6 +622,7 @@ class ChromatinSim:
             state.key, state.step, state.xl.fields["state"],
             state.xl_bound_to, cand_idx, rates, cand_mask,
             koff=jnp.asarray(c.unbinding_rate, self.dtype), dt=c.dt,
+            gid=jnp.arange(self.X, dtype=jnp.int32),
         )
         # bind/unbind = mask flips + slot writes on the LinkSet (the
         # LinkData request/process semantics, `LinkData.hpp:159-183`)

@@ -339,10 +339,10 @@ class LCPSpheresSim:
                                                     c.num_spheres)))
         blk = np.bincount(act_i[act_i < c.num_spheres] // self.seg_block,
                           minlength=1)
-        # 1.2x slack on a 128 grid: the solve's per-iteration matvec (and
+        # 1.1x slack on a 64 grid: the solve's per-iteration matvec (and
         # the block-Delassus memory) scale with nb * W (resp. nb * W^2), so
         # window slack is paid every iteration — regrow/resize cover growth
-        self.act_window = max(128, (int(blk.max() * 1.2) + 127) // 128 * 128)
+        self.act_window = max(64, (int(blk.max() * 1.1) + 63) // 64 * 64)
         return LCPSpheresState(
             pos=pos,
             gamma=jnp.zeros((self.act_capacity,), self.dtype),
@@ -651,13 +651,16 @@ class LCPSpheresSim:
         count hovering near an alignment boundary would otherwise bounce
         the capacity (and eat a recompile) every block."""
         blk_max = int(jax.device_get(state.act_block_max))
-        target_w = max(128, (int(blk_max * 1.2) + 127) // 128 * 128)
+        target_w = max(64, (int(blk_max * 1.1) + 63) // 64 * 64)
         if target_w == self.act_window:
             self._act_shrink_streak = 0
             return state
         if target_w <= self.act_window:
             streak = getattr(self, "_act_shrink_streak", 0)
-            if streak < 1:
+            # small shrinks wait for two consecutive blocks (recompiles are
+            # ~40-60 s); a >25% gap — the cold-start set relaxing — shrinks
+            # immediately, the per-iteration cost scales with W^2
+            if streak < 1 and target_w > 0.75 * self.act_window:
                 self._act_shrink_streak = streak + 1
                 return state
         self._act_shrink_streak = 0

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 
@@ -41,12 +42,36 @@ def binding_rate_gaussian(dr_mag: Array, k_spring, rest_length, kt, rate_prefact
     return rate_prefactor * jnp.exp(-0.5 * (k_spring / kt) * x * x)
 
 
+def uniform_keyed(key: Array, step: Array, gid: Array, salt: int,
+                  dtype=jnp.float32) -> Array:
+    """Per-entity uniform draws as a pure function of (key, step, gid) —
+    the counter-based construction of dynamics/brownian
+    (threefry_2x32 over explicit (gid, salt) counter planes). Unlike a
+    shape-(X,) jax.random.uniform, the stream is independent of array
+    layout or sharding: a shard drawing its own gids gets exactly the
+    values the single-device sweep draws for them (the property the
+    reference gets from Philox(gid, counter) per-entity streams)."""
+    import jax.extend as jex
+
+    kd = jax.random.key_data(jax.random.fold_in(key, step))
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    g = gid.reshape(-1).astype(jnp.uint32)
+    m = g.shape[0]
+    counts = jnp.concatenate([g, jnp.full((m,), np.uint32(salt))])
+    bits = jex.random.threefry_2x32((kd[0], kd[1]), counts)
+    u = (bits[:m] >> 9).astype(jnp.float32) * jnp.float32(2.0 ** -23) \
+        + jnp.float32(2.0 ** -24)
+    return u.reshape(gid.shape).astype(dtype)
+
+
 def kmc_bind_events(
     key: Array,
     step: Array,
     rates: Array,  # (X, K) candidate binding rates (masked entries = 0)
     mask: Array,  # (X, K) candidate validity
     dt,
+    gid: Array = None,  # (X,) int32 — keyed per-entity draws (sharding-
+    #                     invariant streams); None = legacy shape-(X,) draw
 ) -> tuple[Array, Array]:
     """Choose at most one binding event per crosslinker.
 
@@ -57,8 +82,11 @@ def kmc_bind_events(
     """
     z = jnp.where(mask, rates, 0.0) * dt
     z_tot = jnp.sum(z, axis=1)
-    u = jax.random.uniform(jax.random.fold_in(key, step), (rates.shape[0],),
-                           dtype=rates.dtype)
+    if gid is not None:
+        u = uniform_keyed(key, step, gid, 0x0B1D, dtype=rates.dtype)
+    else:
+        u = jax.random.uniform(jax.random.fold_in(key, step),
+                               (rates.shape[0],), dtype=rates.dtype)
     p_any = -jnp.expm1(-z_tot)  # 1 - exp(-Z), accurate for small Z
     do_bind = (u < p_any) & (z_tot > 0)
 
@@ -69,12 +97,16 @@ def kmc_bind_events(
     return do_bind, chosen
 
 
-def kmc_unbind_events(key: Array, step: Array, koff: Array, dt) -> Array:
+def kmc_unbind_events(key: Array, step: Array, koff: Array, dt,
+                      gid: Array = None) -> Array:
     """(X,) bool: unbind with P = 1 - exp(-dt koff) (HP1 `:310-340`)."""
-    u = jax.random.uniform(
-        jax.random.fold_in(jax.random.fold_in(key, step), 0xB1ED), koff.shape,
-        dtype=koff.dtype,
-    )
+    if gid is not None:
+        u = uniform_keyed(key, step, gid, 0xB1ED, dtype=koff.dtype)
+    else:
+        u = jax.random.uniform(
+            jax.random.fold_in(jax.random.fold_in(key, step), 0xB1ED),
+            koff.shape, dtype=koff.dtype,
+        )
     return u < -jnp.expm1(-dt * koff)
 
 
@@ -93,6 +125,8 @@ def crosslinker_kmc_step(
     candidate_mask: Array,  # (X, K)
     koff: Array,  # (X,) or scalar unbinding rate
     dt,
+    gid: Array = None,  # (X,) crosslinker global ids: keyed (sharding-
+    #                     invariant) streams; None = legacy layout draws
 ) -> CrosslinkerKMCResult:
     """One KMC sweep: left-bound crosslinkers may bind, doubly-bound may
     unbind (mutually exclusive per entity per step, as in the reference's
@@ -103,11 +137,12 @@ def crosslinker_kmc_step(
     left = state == BINDING_STATE.LEFT_BOUND
     doubly = state == BINDING_STATE.DOUBLY_BOUND
 
-    do_bind, chosen = kmc_bind_events(key, step, candidate_rates, candidate_mask, dt)
+    do_bind, chosen = kmc_bind_events(key, step, candidate_rates,
+                                      candidate_mask, dt, gid=gid)
     do_bind = do_bind & left
     new_target = jnp.take_along_axis(candidate_idx, chosen[:, None], axis=1)[:, 0]
 
-    do_unbind = kmc_unbind_events(key, step, koff, dt) & doubly
+    do_unbind = kmc_unbind_events(key, step, koff, dt, gid=gid) & doubly
 
     new_state = jnp.where(do_bind, BINDING_STATE.DOUBLY_BOUND, state)
     new_state = jnp.where(do_unbind, BINDING_STATE.LEFT_BOUND, new_state)

@@ -16,6 +16,7 @@ from mundy_tpu.neighbor.cell_list import (
     make_cell_grid,
     build_cell_list,
     neighbor_matrix,
+    neighbor_matrix_query,
     NeighborMatrix,
     build_pair_list,
     build_pair_list_ordered,
@@ -30,6 +31,7 @@ __all__ = [
     "make_cell_grid",
     "build_cell_list",
     "neighbor_matrix",
+    "neighbor_matrix_query",
     "neighbor_matrix_rows",
     "NeighborMatrix",
     "build_pair_list",

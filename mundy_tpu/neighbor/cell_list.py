@@ -286,6 +286,74 @@ def neighbor_matrix(
     return NeighborMatrix(idx=idx, mask=mask, overflow=jnp.any(ovf_c))
 
 
+def neighbor_matrix_query(
+    pos_all: Array,
+    clist: CellList,
+    query_pos: Array,
+    query_gid: Array,
+    search_radius: Array,  # (N,) or scalar — per CANDIDATE body
+    metric: Optional[Metric] = None,
+    max_neighbors: int = 32,
+    chunk: int = 4096,
+    exclude: Optional[Array] = None,  # (Q, E) global ids to drop per query
+) -> NeighborMatrix:
+    """Neighbor rows for a SUBSET of bodies: query_pos (Q, 3) with global
+    ids query_gid against the cell list built over pos_all. Returns
+    (Q, K) rows whose idx are GLOBAL body ids — identical to the matching
+    rows of neighbor_matrix(pos_all, ...) (same candidate order, same
+    compaction), which is what lets a shard rebuild only its own rows and
+    still match the single-device search bit-for-bit (the distributed-
+    search role of `GenNeighborLinkers.hpp:652-663`)."""
+    n = pos_all.shape[0]
+    q = query_pos.shape[0]
+    grid = clist.grid
+    cap = clist.entries.shape[1]
+    search_radius = jnp.broadcast_to(search_radius, (n,))
+
+    q_pad = ((q + chunk - 1) // chunk) * chunk
+    pad = q_pad - q
+    qp = jnp.concatenate([query_pos, jnp.zeros((pad, 3), query_pos.dtype)])
+    qg = jnp.concatenate([query_gid.astype(jnp.int32),
+                          jnp.full((pad,), -1, jnp.int32)])
+    if exclude is not None:
+        excl_p = jnp.concatenate(
+            [exclude, jnp.full((pad, exclude.shape[1]), -1, exclude.dtype)],
+            axis=0)
+    coords_all = _cell_coords(grid, qp)
+
+    def one_chunk(start):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=0)
+        p = sl(qp)
+        me = sl(qg)
+        coords = sl(coords_all)
+        cells27, valid27 = _neighbor_cells_of(grid, coords)
+        cand = clist.entries[cells27]
+        cand = jnp.where(valid27[..., None], cand, -1)
+        cand = cand.reshape(chunk, 27 * cap)
+        cand_idx = jnp.maximum(cand, 0)
+        cand_pos = pos_all[cand_idx]
+        cand_rad = search_radius[cand_idx]
+        if metric is None:
+            sep = cand_pos - p[:, None, :]
+        else:
+            sep = metric.sep(p[:, None, :], cand_pos)
+        d2 = jnp.sum(sep * sep, axis=-1)
+        r = search_radius[jnp.maximum(me, 0)]
+        cutoff = r[:, None] + cand_rad
+        ok = (cand >= 0) & (d2 <= cutoff * cutoff) & (cand != me[:, None])             & (me >= 0)[:, None]
+        if exclude is not None:
+            ex = sl(excl_p)
+            ok &= jnp.all(cand[:, :, None] != ex[:, None, :], axis=-1)
+        row_idx, row_ok, count = _compact_rows(cand, ok, max_neighbors, n)
+        return row_idx, row_ok, jnp.any(count > max_neighbors)
+
+    starts = jnp.arange(0, q_pad, chunk, dtype=jnp.int32)
+    idx_c, mask_c, ovf_c = jax.lax.map(one_chunk, starts)
+    idx = idx_c.reshape(q_pad, max_neighbors)[:q]
+    mask = mask_c.reshape(q_pad, max_neighbors)[:q]
+    return NeighborMatrix(idx=idx, mask=mask, overflow=jnp.any(ovf_c))
+
+
 def build_pair_list(nmat: NeighborMatrix, capacity: int) -> PairList:
     """Unique (i < j) pairs compacted from a neighbor matrix.
 

@@ -114,7 +114,7 @@ def make_balanced_settling_step(
     g_cap = int(_math.ceil(ghost_slack * n_total / d / 8)) * 8
     m_tot = n_cap + g_cap
     drag = 6.0 * _math.pi * viscosity * radius
-    e_eff = effective_youngs(youngs, poisson, youngs, poisson)
+    e_eff = effective_youngs(youngs, youngs, poisson, poisson)
     grid = make_cell_grid([0, 0, 0], np.array([lx, ly, lz]), cutoff,
                           (False,) * 3, dtype)
     perm_up = [(i, (i + 1) % d) for i in range(d)]
@@ -366,7 +366,7 @@ def reference_settling_step(n_total, box, radius=0.5, youngs=1000.0,
     lx, ly, lz = (float(b) for b in box)
     cutoff = 2.0 * radius + skin
     drag = 6.0 * _math.pi * viscosity * radius
-    e_eff = effective_youngs(youngs, poisson, youngs, poisson)
+    e_eff = effective_youngs(youngs, youngs, poisson, poisson)
     grid = make_cell_grid([0, 0, 0], np.array([lx, ly, lz]), cutoff,
                           (False,) * 3, dtype)
 

@@ -1,0 +1,283 @@
+"""Full-step sharded chromatin: contact + FENE + KMC + springs distributed.
+
+The reference runs the entire HP1 pipeline distributed — search + ghosting
+(`GenNeighborLinkers.hpp:652-741`), KMC state changes under parallel-
+consistent modification (`LinkData.hpp:159-183`) — while round 2 sharded
+only chromatin's spectral-hydro apply. This module distributes the
+remaining phases over a device mesh:
+
+- beads are sharded in INDEX blocks of whole chains (FENE bonds never
+  cross shards); crosslinkers in index blocks;
+- positions are ghost-replicated per step by one all-gather (N * 12 B —
+  12 MB at 1M beads, trivially amortized over ICI; the all-gather IS the
+  aura/ghost exchange, ungated because chromatin contacts are dense and
+  global);
+- each shard rebuilds only ITS OWN neighbor rows (neighbor_matrix_query
+  against the replicated cell list — identical rows to the single-device
+  search) and its own crosslinker candidate rows, evaluates contact forces
+  for its own beads, FENE for its own chains, and KMC for its own
+  crosslinkers (gid-keyed draws: the stream is a pure function of
+  (key, step, gid), so sharded trajectories match single-device ones);
+- crosslinker spring forces touch arbitrary beads and are reduced with one
+  (N, 3) psum; everything else is shard-local.
+
+Trajectories match the single-device ChromatinSim to summation-order
+rounding (crosslinker scatters reduce in a different order); with zero
+crosslinkers they are bit-identical.
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mundy_tpu.dynamics import brownian_velocity_keyed
+from mundy_tpu.forces import fenewca_spring_forces, hookean_spring_forces
+from mundy_tpu.kmc import (BINDING_STATE, binding_rate_gaussian,
+                           crosslinker_kmc_step)
+from mundy_tpu.neighbor import (build_cell_list, neighbor_matrix_query)
+
+
+def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
+    """Build (shard_fn, step_block_fn, gather_fn) for a ChromatinSim.
+
+    Requirements: hydro == "none" (the spectral mobility shards separately,
+    parallel/spectral_shard.py), num_chains % d == 0, X % d == 0 (0 ok),
+    non-periodic or periodic both supported (the single-device contact
+    search must be on the cell-list path for bit-matching rows — confined
+    configs always are).
+    """
+    c = sim.config
+    d = mesh.shape[axis]
+    assert c.hydro == "none", "sharded step covers the dry pipeline"
+    assert c.num_chains % d == 0, "shards own whole chains"
+    N, X = sim.N, sim.X
+    assert X % d == 0
+    Nl, Xl = N // d, max(X // d, 1)
+    K = sim.config.max_neighbors
+    dtype = sim.dtype
+    metric = sim.metric if sim.periodic else None
+    inv_drag = sim.inv_drag
+
+    def shard_fn(state):
+        """Full ChromatinState -> dict of (d, ...) sharded blocks."""
+        def blocks(a, nl):
+            return np.asarray(jax.device_get(a)).reshape((d, nl)
+                                                         + a.shape[1:])
+        out = {
+            "pos": blocks(state.pos, Nl),
+            "nmat_idx": blocks(state.nmat.idx, Nl),
+            "nmat_mask": blocks(state.nmat.mask, Nl),
+            "ref_pos": blocks(state.ref_pos, Nl),
+            "key": np.broadcast_to(np.asarray(state.key), (d,)
+                                   + state.key.shape).copy(),
+            "step": np.full((d,), int(state.step), np.int32),
+            "rebuild_count": np.full((d,), int(state.rebuild_count),
+                                     np.int32),
+            "overflow": np.full((d,), bool(state.overflow)),
+        }
+        if X > 0:
+            out.update({
+                "xl_home": blocks(state.xl.indices[:, 0], Xl),
+                "xl_target": blocks(state.xl.indices[:, 1], Xl),
+                "xl_state": blocks(state.xl.fields["state"], Xl),
+                "xl_active": blocks(state.xl.active, Xl),
+                "kmc_idx": blocks(state.kmc_nmat.idx, Xl),
+                "kmc_mask": blocks(state.kmc_nmat.mask, Xl),
+            })
+        sharded = NamedSharding(mesh, P(axis))
+        return {k: jax.device_put(jnp.asarray(v), sharded)
+                for k, v in out.items()}
+
+    def _forces_own(shard_id, pos_rep, pos_own, nmat_idx, nmat_mask):
+        """Contact + FENE + periphery for the shard's own beads (Nl, 3)."""
+        from mundy_tpu.forces.contact import (effective_youngs,
+                                              hertzian_pair_force)
+
+        idx = jnp.minimum(nmat_idx, N - 1)
+        pj = pos_rep[idx]
+        if metric is None:
+            sep = pj - pos_own[:, None, :]
+        else:
+            sep = metric.sep(pos_own[:, None, :], pj)
+        d2 = jnp.maximum(jnp.sum(sep * sep, axis=-1), 1e-24)
+        rinv = jax.lax.rsqrt(d2)
+        dist = d2 * rinv
+        e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
+                                 c.poissons_ratio, c.poissons_ratio)
+        mag = hertzian_pair_force(dist - 2.0 * c.bead_radius,
+                                  jnp.asarray(0.5 * c.bead_radius, dtype),
+                                  jnp.asarray(e_eff, dtype))
+        w = jnp.where(nmat_mask, -(mag * rinv), 0.0)
+        f = jnp.sum(w[..., None] * sep, axis=1)
+
+        # FENE-WCA backbone: own chains only — evaluate on the replicated
+        # positions with the shard's bond slice, then take own rows
+        nb_per = Nl - c.num_chains // d  # bonds per shard
+        b0 = shard_id * nb_per
+        bond_i = jax.lax.dynamic_slice_in_dim(sim.bond_i, b0, nb_per)
+        bond_j = jax.lax.dynamic_slice_in_dim(sim.bond_j, b0, nb_per)
+        sigma = 2.0 * c.bead_radius
+        f_fene = fenewca_spring_forces(
+            pos_rep, bond_i, bond_j,
+            jnp.asarray(c.backbone_k, dtype),
+            jnp.asarray(c.backbone_rmax * sigma, dtype),
+            jnp.asarray(sigma, dtype),
+            jnp.asarray(c.wca_epsilon, dtype),
+            metric=metric)
+        f = f + jax.lax.dynamic_slice_in_dim(f_fene, shard_id * Nl, Nl)
+
+        if c.periphery_radius > 0:
+            r = jnp.linalg.norm(pos_own, axis=1)
+            over = jnp.maximum(r + c.bead_radius - c.periphery_radius, 0.0)
+            pmag = c.periphery_stiffness * over * jnp.sqrt(over)
+            nhat = pos_own / jnp.maximum(r, 1e-12)[:, None]
+            f = f - pmag[:, None] * nhat
+        return f
+
+    def _kmc_own(shard_id, pos_rep, key, step, xl_home, xl_target, xl_state,
+                 xl_active, kmc_idx, kmc_mask):
+        cand_idx = jnp.minimum(kmc_idx, N - 1)
+        cand_mask = kmc_mask & sim.bind_allowed[cand_idx]
+        px, py, pz = pos_rep[:, 0], pos_rep[:, 1], pos_rep[:, 2]
+        dx = px[cand_idx] - px[xl_home][:, None]
+        dy = py[cand_idx] - py[xl_home][:, None]
+        dz = pz[cand_idx] - pz[xl_home][:, None]
+        if sim.periodic:
+            box = jnp.asarray(c.box_size, dtype)
+            dx = dx - box * jnp.round(dx / box)
+            dy = dy - box * jnp.round(dy / box)
+            dz = dz - box * jnp.round(dz / box)
+        dr = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        rates = binding_rate_gaussian(dr, c.crosslinker_k,
+                                      c.crosslinker_rest_length, c.kt,
+                                      c.binding_rate)
+        gid = shard_id * Xl + jnp.arange(Xl, dtype=jnp.int32)
+        bound_to = jnp.where(xl_active, xl_target, -1)
+        out = crosslinker_kmc_step(
+            key, step, xl_state, bound_to, cand_idx, rates, cand_mask,
+            koff=jnp.asarray(c.unbinding_rate, dtype), dt=c.dt, gid=gid)
+        new_target = jnp.where(out.bound_to >= 0, out.bound_to, xl_home)
+        return (out.state, new_target,
+                out.state == BINDING_STATE.DOUBLY_BOUND)
+
+    def local_block(s, n_steps):
+        shard_id = jax.lax.axis_index(axis)
+        has_xl = X > 0
+
+        def gather_pos(pos_own):
+            return jax.lax.all_gather(pos_own, axis, tiled=True)
+
+        def inner_step(carry):
+            st, done = carry
+            pos_rep = gather_pos(st["pos"])
+            if has_xl:
+                xs, xt, xa = _kmc_own(shard_id, pos_rep, st["key"],
+                                      st["step"], st["xl_home"],
+                                      st["xl_target"], st["xl_state"],
+                                      st["xl_active"], st["kmc_idx"],
+                                      st["kmc_mask"])
+                st = {**st, "xl_state": xs, "xl_target": xt, "xl_active": xa}
+            f = _forces_own(shard_id, pos_rep, st["pos"], st["nmat_idx"],
+                            st["nmat_mask"])
+            if has_xl:
+                f_xl = hookean_spring_forces(
+                    pos_rep, st["xl_home"], st["xl_target"],
+                    jnp.asarray(c.crosslinker_k, dtype),
+                    jnp.asarray(c.crosslinker_rest_length, dtype),
+                    mask=st["xl_active"], metric=metric)
+                f = f + jax.lax.dynamic_slice_in_dim(
+                    jax.lax.psum(f_xl, axis), shard_id * Nl, Nl)
+            vel = inv_drag * f
+            if c.diffusion_coeff > 0:
+                gid = shard_id * Nl + jnp.arange(Nl, dtype=jnp.int32)
+                vel = vel + brownian_velocity_keyed(
+                    st["key"], st["step"], gid,
+                    jnp.asarray(c.diffusion_coeff, dtype), c.dt,
+                    dtype=dtype)
+            new_pos = st["pos"] + jnp.asarray(c.dt, dtype) * vel
+            if sim.periodic:
+                new_pos = sim.metric.wrap(new_pos)
+            st = {**st, "pos": new_pos, "step": st["step"] + 1}
+            return st, done + 1
+
+        def moved(carry):
+            st = carry[0]
+            # plain diff (not min-image), matching ChromatinSim._run_n's
+            # trigger exactly — the rebuild CADENCE must be identical for
+            # sharded KMC candidate rows to match the single-device run
+            disp = st["pos"] - st["ref_pos"]
+            local = jnp.max(jnp.sum(disp * disp, axis=-1))
+            return jax.lax.pmax(local, axis) > (0.5 * c.skin) ** 2
+
+        def rebuild(carry):
+            st, done = carry
+            pos_rep = gather_pos(st["pos"])
+            gid = shard_id * Nl + jnp.arange(Nl, dtype=jnp.int32)
+            clist = build_cell_list(pos_rep, sim.grid, c.cell_capacity)
+            excl = (jax.lax.dynamic_slice_in_dim(sim.exclude,
+                                                 shard_id * Nl, Nl)
+                    if sim.exclude is not None else None)
+            nmat = neighbor_matrix_query(
+                pos_rep, clist, st["pos"], gid,
+                jnp.asarray(sim.search_radius, dtype),
+                metric=metric, max_neighbors=K,
+                chunk=min(c.chunk, max(256, Nl)), exclude=excl)
+            ovf = st["overflow"] | clist.overflow | nmat.overflow
+            st = {**st, "nmat_idx": nmat.idx, "nmat_mask": nmat.mask,
+                  "ref_pos": st["pos"], "overflow": ovf,
+                  "rebuild_count": st["rebuild_count"] + 1}
+            if has_xl:
+                kmat, kovf = sim._build_kmc_candidates(pos_rep,
+                                                       st["xl_home"])
+                st = {**st, "kmc_idx": kmat.idx, "kmc_mask": kmat.mask,
+                      "overflow": st["overflow"] | kovf}
+            return st, done
+
+        def outer_body(carry):
+            # unconditional rebuild at outer entry — ChromatinSim._run_n
+            # does the same (cadence parity, see moved())
+            carry = rebuild(carry)
+            carry = inner_step(carry)
+            return jax.lax.while_loop(
+                lambda cr: jnp.logical_and(cr[1] < n_steps,
+                                           jnp.logical_not(moved(cr))),
+                inner_step, carry)
+
+        s, _ = jax.lax.while_loop(lambda cr: cr[1] < n_steps, outer_body,
+                                  (s, jnp.asarray(0, jnp.int32)))
+        return s
+
+    def step_block_fn(state, n_steps: int):
+        keys = sorted(state.keys())
+
+        def shard_step(*blocks):
+            s = {k: b[0] for k, b in zip(keys, blocks)}
+            out = local_block(s, jnp.asarray(n_steps, jnp.int32))
+            return tuple(out[k][None] for k in keys)
+
+        f = jax.jit(jax.shard_map(
+            shard_step, mesh=mesh, in_specs=(P(axis),) * len(keys),
+            out_specs=(P(axis),) * len(keys)))
+        out = f(*[state[k] for k in keys])
+        return dict(zip(keys, out))
+
+    def gather_fn(state):
+        """Sharded dict -> (pos (N, 3), xl_state, xl_bound_to) on host."""
+        pos = np.asarray(jax.device_get(state["pos"])).reshape(N, 3)
+        if X > 0:
+            xs = np.asarray(jax.device_get(state["xl_state"])).reshape(X)
+            xa = np.asarray(jax.device_get(state["xl_active"])).reshape(X)
+            xt = np.asarray(jax.device_get(state["xl_target"])).reshape(X)
+            bt = np.where(xa, xt, -1)
+        else:
+            xs = np.zeros(0, np.int32)
+            bt = np.zeros(0, np.int32)
+        return pos, xs, bt
+
+    return shard_fn, step_block_fn, gather_fn

@@ -1,0 +1,74 @@
+"""Full-step sharded chromatin (contact + FENE + KMC) on 8 virtual devices
+matches the single-device app — the r2 verdict's config-#5 demand that the
+WHOLE chromatin step be sharded, not just its hydro."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from mundy_tpu.driver.apps.chromatin import ChromatinConfig, ChromatinSim
+from mundy_tpu.parallel.chromatin_shard import make_sharded_chromatin_step
+
+pytestmark = pytest.mark.slow
+
+
+def _mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("shard",))
+
+
+def _cfg(**kw):
+    base = dict(num_chains=8, beads_per_chain=32, num_crosslinkers=32,
+                periphery_radius=9.0, diffusion_coeff=0.05,
+                binding_rate=50.0, unbinding_rate=2.0,
+                dt=2e-4, num_steps=60, max_neighbors=48, cell_capacity=48,
+                dtype="float64", chunk=256, log_every=1000)
+    base.update(kw)
+    return ChromatinConfig(**base)
+
+
+def test_sharded_full_step_matches_single_device():
+    mesh = _mesh()
+    cfg = _cfg()
+    sim = ChromatinSim(cfg)
+    state0 = sim.init()
+    shard_fn, step_fn, gather_fn = make_sharded_chromatin_step(
+        mesh, "shard", sim)
+    sh = shard_fn(state0)
+
+    steps = 60
+    ref = sim.run_block(state0, steps)
+    jax.block_until_ready(ref.pos)
+    sh = step_fn(sh, steps)
+    pos_s, xs_s, bt_s = gather_fn(sh)
+
+    np.testing.assert_allclose(pos_s, np.asarray(ref.pos), rtol=0,
+                               atol=1e-9)
+    # KMC state machine: identical events (gid-keyed draws + identical
+    # candidate rows + identical rebuild cadence)
+    np.testing.assert_array_equal(xs_s, np.asarray(ref.xl_state))
+    np.testing.assert_array_equal(bt_s, np.asarray(ref.xl_bound_to))
+    # events actually happened (the test exercises binding AND unbinding)
+    assert (xs_s == 2).any()
+    assert not bool(np.any(np.asarray(jax.device_get(sh["overflow"]))))
+
+
+def test_sharded_dry_no_crosslinkers_bit_identical():
+    mesh = _mesh()
+    cfg = _cfg(num_crosslinkers=0)
+    sim = ChromatinSim(cfg)
+    state0 = sim.init()
+    shard_fn, step_fn, gather_fn = make_sharded_chromatin_step(
+        mesh, "shard", sim)
+    sh = shard_fn(state0)
+    ref = sim.run_block(state0, 40)
+    jax.block_until_ready(ref.pos)
+    sh = step_fn(sh, 40)
+    pos_s, _xs, _bt = gather_fn(sh)
+    # no cross-shard reductions in the dry pipeline: identical to ~1 ulp
+    np.testing.assert_allclose(pos_s, np.asarray(ref.pos), rtol=0,
+                               atol=1e-13)

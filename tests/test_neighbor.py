@@ -147,3 +147,37 @@ def test_jit_build(rng):
     p1 = build(pos)
     p2 = build(pos + 0.0)
     assert int(p1.num_pairs) == int(p2.num_pairs)
+
+
+def test_neighbor_matrix_query_matches_full(rng):
+    """The subset-query rows equal the matching rows of the full build —
+    the distributed-search invariant sharded rebuilds rely on."""
+    from mundy_tpu.neighbor import (build_cell_list, make_cell_grid,
+                                    neighbor_matrix, neighbor_matrix_query)
+
+    n = 400
+    pos = jnp.asarray(rng.uniform(0, 12.0, (n, 3)))
+    grid = make_cell_grid([0, 0, 0], np.array([12.0] * 3), 1.5,
+                          (False,) * 3, jnp.float64)
+    clist = build_cell_list(pos, grid, 32)
+    sr = jnp.asarray(0.75)
+    full = neighbor_matrix(pos, clist, sr, max_neighbors=24, chunk=128)
+    sel = jnp.asarray(np.sort(rng.choice(n, 150, replace=False)).astype(np.int32))
+    sub = neighbor_matrix_query(pos, clist, pos[sel], sel, sr,
+                                max_neighbors=24, chunk=64)
+    np.testing.assert_array_equal(np.asarray(sub.idx),
+                                  np.asarray(full.idx[sel]))
+    np.testing.assert_array_equal(np.asarray(sub.mask),
+                                  np.asarray(full.mask[sel]))
+    assert bool(sub.overflow) == False
+
+    # exclusion tables work per query row
+    excl = jnp.asarray(np.stack([np.asarray(full.idx[sel])[:, 0],
+                                 np.full(150, -1)], axis=1).astype(np.int32))
+    sub2 = neighbor_matrix_query(pos, clist, pos[sel], sel, sr,
+                                 max_neighbors=24, chunk=64, exclude=excl)
+    first = np.asarray(full.idx[sel])[:, 0]
+    has = np.asarray(full.mask[sel])[:, 0]
+    bad = (np.asarray(sub2.idx) == first[:, None]) & np.asarray(sub2.mask) \
+        & has[:, None]
+    assert not bad.any()

@@ -452,6 +452,29 @@ class ChromatinSim:
             targets=("beads", "beads"),
         )
         nmat, hmat, kmat, ovf = self._build_nmat(pos, home)
+        # Right-size the candidate-row capacities from MEASURED occupancy:
+        # the close-packing bound on kmc_K is ~7x the real in-capture count
+        # at chromatin density, and every KMC sweep pays X * kmc_K gathers
+        # PER STEP (937 ms at 1M with the analytic bound); same for the
+        # contact K's per-step (N, K) force gathers. Regrow re-widens on
+        # overflow.
+        resize = False
+        if not bool(jax.device_get(nmat.overflow)):
+            kmax = int(jax.device_get(
+                jnp.max(jnp.sum(nmat.mask, axis=1, dtype=jnp.int32))))
+            tight = max(12, ((int(kmax * 1.6) + 4 + 3) // 4) * 4)
+            if tight < c.max_neighbors:
+                c.max_neighbors = tight
+                resize = True
+        if self.X > 0 and not bool(jax.device_get(kmat.overflow)):
+            kk = int(jax.device_get(
+                jnp.max(jnp.sum(kmat.mask, axis=1, dtype=jnp.int32))))
+            tightk = max(16, ((int(kk * 1.5) + 8 + 7) // 8) * 8)
+            if tightk < self.kmc_K:
+                self.kmc_K = tightk
+                resize = True
+        if resize:
+            nmat, hmat, kmat, ovf = self._build_nmat(pos, home)
         return ChromatinState(
             pos=pos, xl=xl,
             key=ks, step=jnp.asarray(0, jnp.int32), nmat=nmat,
@@ -639,8 +662,12 @@ class ChromatinSim:
         pos = state.pos
         sigma = 2.0 * c.bead_radius
         metric = self.metric if self.periodic else None
-        f = fenewca_spring_forces(
-            pos, self.bond_i, self.bond_j,
+        # chain-structured kernel: shifted slices + 2 shifted adds instead
+        # of the bond-list scatter (~180 ms at 1M beads, ~90 ns/row);
+        # bit-identical per bond
+        from mundy_tpu.forces import fenewca_chain_forces
+        f = fenewca_chain_forces(
+            pos, c.beads_per_chain,
             jnp.asarray(c.backbone_k, self.dtype),
             jnp.asarray(c.backbone_rmax * sigma, self.dtype),
             jnp.asarray(sigma, self.dtype),
@@ -780,13 +807,25 @@ class ChromatinSim:
         )
         return state
 
+    # Cap on fused steps per device execution: a single XLA execution that
+    # runs for minutes (20 spectral steps at 1M beads ~ 100 s) gets the
+    # tunneled TPU worker killed ("TPU worker process crashed"); chunking
+    # bounds each execution while the program stays cached (n_steps is
+    # traced). Per-call overhead is ~26 ms RTT — noise at these step costs.
+    device_steps_per_call: int = 4
+
     def run_block(self, state: ChromatinState, n_steps: int) -> ChromatinState:
         # n_steps is traced (used only in comparisons), so one compiled
         # program serves every block size — no recompile per block length
         if not hasattr(self, '_run_jit'):
             self._run_jit = jax.jit(self._run_n)
         import jax.numpy as _jnp
-        return self._run_jit(state, _jnp.asarray(n_steps, _jnp.int32))
+        done = 0
+        while done < n_steps:
+            k = min(self.device_steps_per_call, n_steps - done)
+            state = self._run_jit(state, _jnp.asarray(k, _jnp.int32))
+            done += k
+        return state
 
     def regrow(self, state: ChromatinState) -> ChromatinState:
         """Grow every overflow-bounded capacity (contact cells/K, rows

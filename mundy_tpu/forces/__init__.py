@@ -19,6 +19,7 @@ from mundy_tpu.forces.contact import (
 from mundy_tpu.forces.springs import (
     hookean_spring_forces,
     fene_spring_forces,
+    fenewca_chain_forces,
     fenewca_spring_forces,
     angular_spring_forces,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "wca_contact_forces",
     "hookean_spring_forces",
     "fene_spring_forces",
+    "fenewca_chain_forces",
     "fenewca_spring_forces",
     "angular_spring_forces",
 ]

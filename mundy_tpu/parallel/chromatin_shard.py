@@ -37,7 +37,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mundy_tpu.dynamics import brownian_velocity_keyed
-from mundy_tpu.forces import fenewca_spring_forces, hookean_spring_forces
+from mundy_tpu.forces import hookean_spring_forces
 from mundy_tpu.kmc import (BINDING_STATE, binding_rate_gaussian,
                            crosslinker_kmc_step)
 from mundy_tpu.neighbor import (build_cell_list, neighbor_matrix_query)
@@ -116,21 +116,18 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
         w = jnp.where(nmat_mask, -(mag * rinv), 0.0)
         f = jnp.sum(w[..., None] * sep, axis=1)
 
-        # FENE-WCA backbone: own chains only — evaluate on the replicated
-        # positions with the shard's bond slice, then take own rows
-        nb_per = Nl - c.num_chains // d  # bonds per shard
-        b0 = shard_id * nb_per
-        bond_i = jax.lax.dynamic_slice_in_dim(sim.bond_i, b0, nb_per)
-        bond_j = jax.lax.dynamic_slice_in_dim(sim.bond_j, b0, nb_per)
+        # FENE-WCA backbone: shards own whole chains, so the scatter-free
+        # chain kernel runs directly on the OWN block (bit-identical to the
+        # app's kernel — see test_fenewca_chain_matches_bond_list)
+        from mundy_tpu.forces import fenewca_chain_forces
         sigma = 2.0 * c.bead_radius
-        f_fene = fenewca_spring_forces(
-            pos_rep, bond_i, bond_j,
+        f = f + fenewca_chain_forces(
+            pos_own, c.beads_per_chain,
             jnp.asarray(c.backbone_k, dtype),
             jnp.asarray(c.backbone_rmax * sigma, dtype),
             jnp.asarray(sigma, dtype),
             jnp.asarray(c.wca_epsilon, dtype),
             metric=metric)
-        f = f + jax.lax.dynamic_slice_in_dim(f_fene, shard_id * Nl, Nl)
 
         if c.periphery_radius > 0:
             r = jnp.linalg.norm(pos_own, axis=1)

@@ -19,9 +19,15 @@ def cfg(**kw):
 
 
 def test_chains_stay_connected():
-    sim = ChromatinSim(cfg())
+    from mundy_tpu.driver.regrow import run_blocks
+
+    sim = ChromatinSim(cfg(num_steps=200))
     state = sim.init()
-    state = sim.run_block(state, 200)
+    # the public driver loop: free chains COMPACT over time, so the
+    # init-measured candidate capacities can overflow mid-run — the regrow
+    # loop (aux failure recovery) re-widens and retries, and the final
+    # state must be clean
+    state = run_blocks(sim, state, 200, 50, log=lambda s: None)
     assert not bool(state.overflow)
     pos = np.asarray(state.pos).reshape(2, 64, 3)
     bond_len = np.linalg.norm(np.diff(pos, axis=1), axis=-1)

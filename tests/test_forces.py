@@ -140,3 +140,27 @@ def test_forces_through_cell_list(rng):
                 mag = (4 / 3) * e_eff * np.sqrt(r_eff) * (-sep) ** 1.5
                 f_ref[a] -= mag * d / dist
     np.testing.assert_allclose(np.asarray(f), f_ref, atol=1e-9)
+
+
+def test_fenewca_chain_matches_bond_list(rng):
+    """The scatter-free chain kernel equals the generic bond-list kernel
+    bit-for-bit on the contiguous-chain layout."""
+    from mundy_tpu.forces import fenewca_chain_forces, fenewca_spring_forces
+
+    chains, per = 3, 17
+    n = chains * per
+    pos = jnp.asarray(rng.uniform(0, 8.0, (n, 3)))
+    left = np.arange(n - 1)
+    ok = (left + 1) % per != 0
+    bi = jnp.asarray(left[ok], jnp.int32)
+    bj = jnp.asarray(left[ok] + 1, jnp.int32)
+    k, rmax, sigma, eps = 30.0, 1.5, 1.0, 1.0
+    ref = fenewca_spring_forces(pos, bi, bj, k, rmax, sigma, eps)
+    got = fenewca_chain_forces(pos, per, k, rmax, sigma, eps)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    from mundy_tpu.geom import periodic
+    m = periodic(np.array([8.0] * 3), dtype=jnp.float64)
+    ref = fenewca_spring_forces(pos, bi, bj, k, rmax, sigma, eps, metric=m)
+    got = fenewca_chain_forces(pos, per, k, rmax, sigma, eps, metric=m)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -149,12 +149,17 @@ def main():
         "overflow": bool(state.overflow),
         "engine": engine,
     }
+    # headline goes out IMMEDIATELY (the LCP leg takes minutes; if the
+    # driver times the script out mid-LCP the main metric must already be
+    # on stdout); the full record with the LCP north-star metrics follows
+    # as the final line
+    print(json.dumps(rec), flush=True)
     if os.environ.get("BENCH_LCP", "1") != "0":
         try:
             rec.update(measure_lcp(n))
         except Exception as e:  # the headline line must survive
             rec["lcp_error"] = repr(e)[:200]
-    print(json.dumps(rec))
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

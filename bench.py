@@ -132,6 +132,8 @@ def main():
         try:
             with open(f) as fh:
                 rec = json.load(fh)
+            # the driver wraps our JSON line under "parsed"
+            rec = rec.get("parsed", rec)
             if rec.get("unit") == "pair-interactions/sec/chip":
                 prev = float(rec.get("value", 0.0))
         except Exception:

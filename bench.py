@@ -45,9 +45,18 @@ def measure_lcp(n: int):
     for _ in range(3):  # settle + give the active-window resize chances
         state = sim.run_block(state, 9)
         float(jnp.sum(state.pos[0]))
+    # The settle blocks may raise the sticky overflow while capacities are
+    # still being right-sized; record it (the published number carries the
+    # caveat) rather than silently discarding, then clear and re-verify:
+    # the 2-step warm block below re-raises the flag if any capacity is
+    # STILL insufficient, so `lcp_overflow` genuinely covers the timed
+    # window's data structures.
+    settle_overflow = bool(state.overflow)
     state = state.replace(overflow=jnp.asarray(False))
     state = sim.run_block(state, 2, resize=False)
     float(jnp.sum(state.pos[0]))
+    assert not bool(state.overflow), \
+        "LCP capacities still overflow after the settle+resize blocks"
     rb0 = int(state.rebuild_count)
     window = 24
     t0 = time.perf_counter()
@@ -61,6 +70,7 @@ def measure_lcp(n: int):
         "lcp_active_pairs": int(state.act_count),
         "lcp_rebuilds_per_step": (int(state.rebuild_count) - rb0) / window,
         "lcp_overflow": bool(state.overflow),
+        "lcp_settle_overflow": settle_overflow,
     }
 
 
@@ -115,14 +125,19 @@ def main():
     steps_per_sec = steps / elapsed
     # directed pair interactions within the physical cutoff per step
     if engine == "rows":
-        # count true in-cutoff neighbor pairs from the final state
-        import numpy as _np
-        pos = _np.asarray(sim.positions(state))
-        cut = 2 * radius + cfg.skin
-        # sampled estimate: density * shell volume * n (exact count not
-        # needed for a throughput denominator; use mean-field estimate)
-        dens = n / (box ** 3)
-        pair_evals = int(n * dens * (4.0 / 3.0) * 3.141592653589793 * cut**3)
+        # EXACT directed in-cutoff pair count at the final state: one
+        # neighbor-matrix build at the physical cutoff 2r + skin (the rows
+        # engine's force kernel evaluates exactly these pairs each step).
+        from mundy_tpu.neighbor import neighbor_matrix_rows
+        nm = neighbor_matrix_rows(
+            sim.positions(state), radius + 0.5 * cfg.skin, (box,) * 3,
+            max_neighbors=cfg.max_neighbors)
+        pair_evals = int(jnp.sum(nm.mask))
+        if bool(nm.overflow):  # truncated count: fall back to mean-field
+            dens = n / (box ** 3)
+            cut = 2 * radius + cfg.skin
+            pair_evals = int(n * dens * (4.0 / 3.0)
+                             * 3.141592653589793 * cut**3)
     else:
         pair_evals = int(jnp.sum(state.nmat.mask))
     pairs_per_sec = steps_per_sec * pair_evals

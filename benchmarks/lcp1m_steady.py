@@ -49,9 +49,10 @@ def measure(n, buffer, settle=24, window=24, diffusion=0.1):
         fence(state.pos)
     t_settle = time.perf_counter() - t0
     rb0 = int(state.rebuild_count)
-    # clear the sticky overflow noted during the pre-resize settle blocks
-    # (capacities have been re-fit since; a real overflow in the timed
-    # window re-raises it)
+    # record then clear the sticky overflow noted during the pre-resize
+    # settle blocks (capacities have been re-fit since; a real overflow in
+    # the warm block or the timed window re-raises it)
+    settle_overflow = bool(state.overflow)
     state = state.replace(overflow=jnp.asarray(False))
     # warm the frozen-capacity program (one chunk) before timing
     state = sim.run_block(state, 2, resize=False)
@@ -72,6 +73,7 @@ def measure(n, buffer, settle=24, window=24, diffusion=0.1):
         "act_window": sim.act_window,
         "pair_capacity": sim.pair_capacity,
         "overflow": bool(state.overflow),
+        "settle_overflow": settle_overflow,
         "t_init_s": round(t_init, 1), "t_settle_s": round(t_settle, 1),
     }
     if out["overflow"]:

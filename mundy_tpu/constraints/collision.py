@@ -532,6 +532,71 @@ def assemble_block_delassus(setup: CollisionSetup) -> Array:
     return jnp.where(eq, dots, 0.0)
 
 
+def assemble_band_delassus(setup: CollisionSetup, k_band: int) -> Array:
+    """(k_band-1, A) i-side Delassus BAND: band[d-1, p] = M[p, p+d] =
+    (i_p == i_{p+d}) * (n_p . n_{p+d}).
+
+    The active list is i-sorted (the strided compaction preserves the
+    rebuild order), so every body's active pairs form a CONTIGUOUS run —
+    M[p, q] = (i_p == i_q) n_p.n_q is nonzero only for |p - q| < run
+    length <= k_band (the broad phase's per-body neighbor cap bounds the
+    run structurally: the pair list is compacted from a (N, K) neighbor
+    matrix). The dense (nb, W, W) block form reads nb*W^2 f32 ~ 1.6 GB
+    per BBPGD iteration at 1M bodies for ~7 nonzeros per row; the band
+    reads (k_band-1)*A ~ 40 MB — ~40x less traffic for the identical
+    operator.
+
+    Wrap-around of the shifts is harmless by construction: rolled-in
+    slots are either pads (zero normals -> zero band entry) or belong to
+    a different body block (ids never match).
+
+    ref: the banded form of `sum_collision_force` +
+    `compute_rate_of_change_of_sep` (`scrap/lcp_spheres/StkNgpLCP.cpp:578,
+    635`) restricted to one body's contiguous constraint run.
+    """
+    ids = setup.pairs.i
+    n = setup.normals
+    nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+    rows = []
+    for d in range(1, k_band):
+        same = ids == jnp.roll(ids, -d)
+        dots = (nx * jnp.roll(nx, -d) + ny * jnp.roll(ny, -d)
+                + nz * jnp.roll(nz, -d))
+        rows.append(jnp.where(same, dots, 0.0))
+    return jnp.stack(rows, axis=0)
+
+
+def make_band_delassus_apply(setup: CollisionSetup, dual: Array,
+                             dt, k_band: int,
+                             mobility_i=None, mobility_j=None):
+    """Delassus apply via the banded i-side matrix (scalar mobility).
+
+    u = M g runs as 2*(k_band-1) shifted fused multiply-adds over the
+    flat (A,) active list (the diagonal is exactly 1: |n_p|^2, and padded
+    slots carry zero g); the j-side stays the dual-slot gather:
+        (A gamma)_p = dt * (c_i u_p + c_j u_{dual(p)}).
+    Per iteration ~0.4 ms of band traffic + one (A,) gather — vs ~6.5 ms
+    for the dense per-block GEMV at 1M bodies (same operator, same
+    results to f32 rounding).
+    """
+    n_slots = setup.pairs.i.shape[0]
+    band = assemble_band_delassus(setup, k_band)
+    ci = 1.0 if mobility_i is None else mobility_i
+    cj = 1.0 if mobility_j is None else mobility_j
+    dt = jnp.asarray(dt, setup.sep0.dtype)
+    dual_c = jnp.minimum(dual, n_slots - 1)
+
+    def apply_A(gamma):
+        g = jnp.where(setup.pairs.mask, gamma, 0.0)
+        u = g
+        for d in range(1, k_band):
+            bd = band[d - 1]
+            u = u + bd * jnp.roll(g, -d) + jnp.roll(bd * g, d)
+        return dt * (ci * u + cj * u[dual_c])
+
+    return apply_A
+
+
 def make_block_delassus_apply(setup: CollisionSetup, dual: Array,
                               dt, mobility_i=None, mobility_j=None):
     """Delassus apply via precomputed per-block matrices (scalar mobility).

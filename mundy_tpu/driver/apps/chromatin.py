@@ -227,6 +227,12 @@ class ChromatinSim:
                  // 8) * 8, self.N)
         self.inv_drag = 1.0 / (6.0 * _math.pi * c.viscosity * c.bead_radius)
         self.rows_slack = 1.9  # rows-broad-phase slot slack (regrow-grown)
+        # contact-search K lives on the SIM, not the config: init() right-
+        # sizes it from measured occupancy and regrow() re-widens it, and
+        # writing those back into the (caller-owned, possibly shared)
+        # config object would couple sims built from the same config
+        self.contact_K = c.max_neighbors
+        self.cell_capacity = c.cell_capacity
         self.periphery = None
         if c.hydro in ("rpy_periphery", "rpy_periphery_spectral"):
             from mundy_tpu.mobility.periphery import build_sphere_periphery
@@ -463,8 +469,8 @@ class ChromatinSim:
             kmax = int(jax.device_get(
                 jnp.max(jnp.sum(nmat.mask, axis=1, dtype=jnp.int32))))
             tight = max(12, ((int(kmax * 1.6) + 4 + 3) // 4) * 4)
-            if tight < c.max_neighbors:
-                c.max_neighbors = tight
+            if tight < self.contact_K:
+                self.contact_K = tight
                 resize = True
         if self.X > 0 and not bool(jax.device_get(kmat.overflow)):
             kk = int(jax.device_get(
@@ -520,7 +526,7 @@ class ChromatinSim:
                                      idx=jnp.where(excl_hit, self.N, nmat.idx))
             return nmat, nmat.overflow
         metric = self.metric if self.periodic else None
-        clist = build_cell_list(pos, self.grid, c.cell_capacity)
+        clist = build_cell_list(pos, self.grid, self.cell_capacity)
         nmat = neighbor_matrix(
             pos, clist, jnp.asarray(search_radius, self.dtype),
             metric=metric, max_neighbors=max_neighbors,
@@ -590,7 +596,7 @@ class ChromatinSim:
     def _build_nmat(self, pos: Array, home: Optional[Array] = None):
         c = self.config
         nmat, ovf = self._build_search(pos, self.search_radius,
-                                       c.max_neighbors, self.exclude)
+                                       self.contact_K, self.exclude)
         if self.X > 0:
             kmat, kovf = self._build_kmc_candidates(pos, home)
             ovf = ovf | kovf
@@ -797,7 +803,15 @@ class ChromatinSim:
 
         def outer_body(carry):
             s, done = carry
-            s = self._rebuild(s)
+            # rebuild only when the skin trigger fired: run_block re-enters
+            # this program every device_steps_per_call steps, and an
+            # unconditional entry rebuild would (a) pay the broad phase per
+            # chunk instead of per skin violation and (b) break the
+            # rebuild-cadence parity the sharded step relies on
+            # (parallel/chromatin_shard.py runs skin-triggered rebuilds
+            # only — extra rebuilds here reorder candidate rows, which
+            # changes KMC picks and diverges trajectories)
+            s = jax.lax.cond(moved(s), self._rebuild, lambda x: x, s)
             s, done = inner_body((s, done))
             return jax.lax.while_loop(inner_cond, inner_body, (s, done))
 
@@ -834,8 +848,8 @@ class ChromatinSim:
         from mundy_tpu.driver.regrow import grow_int
 
         c = self.config
-        c.cell_capacity = grow_int(c.cell_capacity)
-        c.max_neighbors = grow_int(c.max_neighbors)
+        self.cell_capacity = grow_int(self.cell_capacity)
+        self.contact_K = grow_int(self.contact_K)
         self.rows_slack *= 1.5
         if self.X > 0:
             self.kmc_cell_capacity = min(grow_int(self.kmc_cell_capacity),

@@ -305,6 +305,13 @@ class LCPSpheresSim:
         tight = ((tight + 1023) // 1024) * 1024
         resize = tight != self.pair_capacity
         self.pair_capacity = tight
+        # Right-size the ROW capacity from measured occupancy: the rows
+        # extraction scans (R, 9R) candidate blocks, so its cost goes as
+        # R^2 — the default 1.9x mean-occupancy slack pays ~3.6x the
+        # perfectly-packed scan. Overflow (clustering growing a row past
+        # the tight cap) regrows slack 1.5x and rebuilds.
+        if self._refit_rows_slack(pos):
+            resize = True
         # Right-size the rows broad phase's K: the Pallas extraction runs K
         # argmin passes over the full candidate blocks (~20 ms each at 1M),
         # so K = 12 when the densest body has 6 in-cutoff neighbors pays
@@ -365,6 +372,34 @@ class LCPSpheresSim:
             act_block_max=jnp.asarray(int(blk.max()), jnp.int32),
             overflow=ovf,
         )
+
+    def _refit_rows_slack(self, pos) -> bool:
+        """Set rows_slack so the row capacity sits just above the MEASURED
+        max row occupancy (host-side bincount over the current positions).
+        Returns True when the slack changed (caller rebuilds)."""
+        c = self.config
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        if n_cells < 5:
+            return False
+        from mundy_tpu.neighbor.rows import make_row_grid
+        g = make_row_grid([0, 0, 0], [c.box_size] * 3,
+                          2 * self.search_radius, c.num_spheres,
+                          capacity_slack=self.rows_slack, dtype=self.dtype,
+                          align=8)
+        p = np.asarray(jax.device_get(pos))
+        p = np.mod(p, c.box_size)
+        iy = np.minimum((p[:, 1] // float(g.cell_yz[0])).astype(np.int64),
+                        g.ny - 1)
+        iz = np.minimum((p[:, 2] // float(g.cell_yz[1])).astype(np.int64),
+                        g.nz - 1)
+        occ = np.bincount(iy * g.nz + iz, minlength=g.ny * g.nz)
+        mean = c.num_spheres / (g.ny * g.nz)
+        target_cap = ((int(occ.max() * 1.12) + 6 + 7) // 8) * 8
+        slack = max(1.15, (target_cap - 8) / mean)
+        if abs(slack - self.rows_slack) / self.rows_slack < 0.05:
+            return False
+        self.rows_slack = slack
+        return True
 
     def _rebuild(self, state: LCPSpheresState) -> LCPSpheresState:
         nmat, pairs, hmat, seg_starts, dual_full, ovf = self._broad_phase(state.pos)
@@ -483,8 +518,7 @@ class LCPSpheresSim:
         # inverse-scatter warm map this replaces cost 44 ms/step at 1M
         # (one (C,) scatter); see active_pair_subset_strided.
         from mundy_tpu.constraints.collision import (
-            active_pair_subset_strided, make_block_delassus_apply,
-            make_local_drag_apply)
+            active_pair_subset_strided, make_band_delassus_apply)
         fused_drag = c.hydro == "none"
         act = active_pair_subset_strided(
             setup_full, self._dyn_margin(setup_full), c.num_spheres,
@@ -513,19 +547,16 @@ class LCPSpheresSim:
             else:
                 mob = 1.0 / (6.0 * _math.pi * c.viscosity * c.radius)
                 mob_i = mob_j = jnp.asarray(mob, self.dtype)
-            # assembled per-block Delassus (bandwidth-bound batched matvec
-            # per iteration, ~2x the one-hot kernel path) when the
-            # (nb, W, W) block matrices fit a conservative HBM budget;
-            # the matrix-free one-hot path covers wide-window regimes
-            if (self.nb_blocks * self.act_window ** 2
-                    * jnp.dtype(self.dtype).itemsize) <= 6e9:
-                apply_override = make_block_delassus_apply(
-                    setup, act.dual, c.dt,
-                    mobility_i=mob_i, mobility_j=mob_j)
-            else:
-                apply_override = make_local_drag_apply(
-                    setup, act.dual, c.num_spheres, c.dt,
-                    mobility_i=mob_i, mobility_j=mob_j)
+            # banded i-side Delassus: the active list is i-sorted, so each
+            # body's pairs are contiguous and M[p, q] lives within
+            # |p - q| < per-body neighbor cap. Assembly is (k-1) shifted
+            # FMAs over (A,) once per step; each BBPGD iteration is
+            # ~(k-1)*A band traffic (~40 MB at 1M) + the dual gather —
+            # replaces both the (nb, W, W) dense-block assembly (~1.6 GB)
+            # and its per-iteration GEMV.
+            apply_override = make_band_delassus_apply(
+                setup, act.dual, c.dt, self._pair_run_bound(),
+                mobility_i=mob_i, mobility_j=mob_j)
 
         # Brownian drift is a KNOWN velocity: it enters the LCP's constant
         # term so the solve enforces non-penetration of the actual
@@ -635,7 +666,46 @@ class LCPSpheresSim:
         # resize=False: step at the current capacities (a capacity re-fit
         # eagerly recompiles the fused program, ~40-90 s at 1M — callers
         # timing a steady-state window skip it and resize between windows)
-        return self._resize_active(state) if resize else state
+        if resize:
+            state = self._refit_broad(state)
+            state = self._resize_active(state)
+        return state
+
+    def _refit_broad(self, state: LCPSpheresState) -> LCPSpheresState:
+        """Between blocks: shrink the rows broad phase to the CURRENT state
+        — rows_k to the measured max neighbor count (the extraction runs K
+        argmin passes, each a full candidate scan, so cold-start slack is
+        paid on every rebuild) and rows_slack to the measured max row
+        occupancy (scan cost ~ R^2). A cold random start overlaps heavily,
+        so init's right-sizing lands well above the steady-state need.
+        Shrinks demand TWO consecutive blocks (each refit rebuilds and
+        recompiles the fused program)."""
+        c = self.config
+        n_cells = int(c.box_size // (2 * self.search_radius))
+        if n_cells < 5 or bool(jax.device_get(state.overflow)):
+            return state
+        kmax = int(jax.device_get(
+            jnp.max(jnp.sum(state.nmat.mask, axis=1, dtype=jnp.int32))))
+        k_tight = max(4, -(-(kmax + 1) // 4) * 4)
+        want_k = k_tight < min(c.max_neighbors, self.rows_k)
+        slack_old = self.rows_slack
+        want_slack = self._refit_rows_slack(state.pos)
+        if not (want_k or want_slack):
+            self._broad_shrink_streak = 0
+            return state
+        streak = getattr(self, "_broad_shrink_streak", 0)
+        if streak < 1:
+            self.rows_slack = slack_old  # defer (hysteresis)
+            self._broad_shrink_streak = streak + 1
+            return state
+        self._broad_shrink_streak = 0
+        if want_k:
+            self.rows_k = k_tight
+        state = self._rebuild(state)
+        self.__dict__.pop("_run_jit", None)
+        self._step_jit = jax.jit(self._step)
+        self._run_jit = jax.jit(self._run_n)
+        return state
 
     def _resize_active(self, state: LCPSpheresState) -> LCPSpheresState:
         """Between blocks: re-fit the active window W to the measured

@@ -567,12 +567,20 @@ def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
             nn0 = best_n.reshape(flat, 3)
             uu0 = u.reshape(flat, 3)
             vv0 = v.reshape(flat, 3)
-            p1f = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, batch + x.shape[len(batch):])
-                .reshape((flat,) + x.shape[len(batch):]), e1)
-            p2f = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, batch + x.shape[len(batch):])
-                .reshape((flat,) + x.shape[len(batch):]), e2)
+            # Every Ellipsoid leaf carries exactly ONE trailing component
+            # axis (center/radii (..., 3), orientation (..., 4)); broadcast
+            # against that known trailing shape rather than inferring the
+            # batch split from rank — an unbatched leaf such as radii of
+            # shape (3,) under a 2-D batch would otherwise raise (or, worse,
+            # silently misbroadcast when trailing dims coincide with batch
+            # dims). The PGD path accepts such inputs via plain numpy
+            # broadcasting, so the refine path must too.
+            def canon(p):
+                return jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x, batch + x.shape[-1:])
+                    .reshape((flat,) + x.shape[-1:]), p)
+            p1f = canon(e1)
+            p2f = canon(e2)
             res = jax.vmap(
                 lambda t, n0, uu, vv, q1, q2: minimize_lbfgs(
                     lambda tv: chart_obj(tv, n0, uu, vv, q1, q2), t,

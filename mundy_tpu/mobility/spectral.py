@@ -352,24 +352,57 @@ def se_wave_apply_rows(op: SpectralEwaldRPY, geom, pos: Array, forces: Array,
     return u, pieces[1]
 
 
+def make_se_geometry_tiles(op: SpectralEwaldRPY, n_particles: int,
+                           capacity_slack: float = 1.15):
+    """3D-tile gridding geometry (ops/pallas/se_grid.SEGridTiles): bounds
+    slot occupancy LOCALLY on all three axes, unlike the (y, z)-column row
+    decomposition whose capacity a chain clustered along x blows up to the
+    chain length (se_R = 1688 at 1M clustered chromatin)."""
+    from mundy_tpu.ops.pallas.se_grid import make_se_grid_tiles
+
+    return make_se_grid_tiles(op.grid_n, op.support, op.base.box,
+                              op.base.xi, op.eta, n_particles,
+                              capacity_slack=capacity_slack,
+                              kind=op.window, beta=op.es_beta)
+
+
+def se_bin_geom(geom, pos: Array, dtype=jnp.float32):
+    """Binning for either dense-gridding geometry (rows or 3D tiles);
+    overflow stays at pieces[1] in both layouts."""
+    from mundy_tpu.ops.pallas.se_grid import (SEGridTiles, se_bin_dense,
+                                              se_bin_tiles)
+
+    if isinstance(geom, SEGridTiles):
+        return se_bin_tiles(geom, pos, dtype)
+    return se_bin_dense(geom, pos, dtype)
+
+
 def se_wave_apply_dense(op: SpectralEwaldRPY, geom, pos: Array,
                         forces: Array, pieces=None):
-    """Wave-space sum with dense MXU gridding (ops/pallas/se_grid.py
-    se_spread_dense / se_interp_dense): the spread/interp contractions run
-    as batched matmuls — pure XLA, no Mosaic, ~8x the per-slot Pallas
-    kernels at 1M. Returns (u, overflow).
+    """Wave-space sum with dense MXU gridding (ops/pallas/se_grid.py):
+    the spread/interp contractions run as batched matmuls — pure XLA, no
+    Mosaic, ~8x the per-slot Pallas kernels at 1M. `geom` selects the
+    decomposition: SEGridTiles (3D tiles — the clustered-safe layout) or
+    SEGridRows ((y, z) columns). Returns (u, overflow).
 
-    `pieces` from se_bin_dense amortizes the binning sort across repeated
+    `pieces` from se_bin_geom amortizes the binning sort across repeated
     applies at fixed positions (the BBPGD solve's mobility products)."""
     from mundy_tpu.ops.pallas.se_grid import (
-        se_bin_dense,
+        SEGridTiles,
         se_interp_dense,
+        se_interp_tiles,
         se_spread_dense,
+        se_spread_tiles,
     )
 
     dtype = forces.dtype
     if pieces is None:
-        pieces = se_bin_dense(geom, pos, dtype)
+        pieces = se_bin_geom(geom, pos, dtype)
+    if isinstance(geom, SEGridTiles):
+        grid = se_spread_tiles(geom, pieces, forces)
+        ugrid = _k_apply(op, grid)
+        u = se_interp_tiles(geom, pieces, ugrid.astype(dtype))
+        return u, pieces[1]
     grid = se_spread_dense(geom, pieces, forces)
     ugrid = _k_apply(op, grid)
     u = se_interp_dense(geom, pieces, pos.shape[0], ugrid.astype(dtype))

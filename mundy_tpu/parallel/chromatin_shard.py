@@ -59,7 +59,7 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
     N, X = sim.N, sim.X
     assert X % d == 0
     Nl, Xl = N // d, max(X // d, 1)
-    K = sim.config.max_neighbors
+    K = sim.contact_K
     dtype = sim.dtype
     metric = sim.metric if sim.periodic else None
     inv_drag = sim.inv_drag
@@ -216,7 +216,7 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
             st, done = carry
             pos_rep = gather_pos(st["pos"])
             gid = shard_id * Nl + jnp.arange(Nl, dtype=jnp.int32)
-            clist = build_cell_list(pos_rep, sim.grid, c.cell_capacity)
+            clist = build_cell_list(pos_rep, sim.grid, sim.cell_capacity)
             excl = (jax.lax.dynamic_slice_in_dim(sim.exclude,
                                                  shard_id * Nl, Nl)
                     if sim.exclude is not None else None)

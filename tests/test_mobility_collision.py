@@ -557,3 +557,60 @@ def test_block_delassus_apply_matches_general(rng):
     np.testing.assert_allclose(np.asarray(fused_p(gamma))[m],
                                np.asarray(general_poly(gamma))[m],
                                rtol=1e-10, atol=1e-12)
+
+
+def test_band_delassus_apply_matches_general(rng):
+    """Banded i-side Delassus apply == the D^T M D chain for scalar and
+    per-body drag (the active list is i-sorted, so each body's pairs are
+    contiguous and the i-side matrix is a band of width <= the broad
+    phase's per-body neighbor cap)."""
+    from mundy_tpu.constraints.collision import (_sep_rate,
+                                                 active_pair_subset_strided,
+                                                 make_band_delassus_apply)
+    from mundy_tpu.ops.segments import segment_windows
+
+    metric, pos, nmat, pairs, starts, dual = _ordered_pipeline(rng)
+    n = pos.shape[0]
+    B, W = 32, 512
+    setup_full = collision_setup_spheres(pos, jnp.asarray(0.5), pairs,
+                                         metric=metric)
+    seg = segment_windows(pairs.i, n, B, window=512, body_starts=starts)
+    res = active_pair_subset_strided(setup_full, jnp.asarray(10.0), n, B, W,
+                                     seg.starts, dual_full=dual)
+    assert not bool(res.overflow)
+    setup = res.setup
+    dt = 1e-3
+    radius, mu = 0.5, 1.3
+    mobc = 1.0 / (6.0 * math.pi * mu * radius)
+    k_band = int(nmat.idx.shape[1])
+
+    gamma = jnp.asarray(rng.normal(size=setup.sep0.shape))
+    gamma = jnp.where(setup.pairs.mask, gamma, 0.0)
+
+    def general(g):
+        f = collision_forces(setup, g, n)
+        u = local_drag_mobility(f, radius, mu)
+        return jnp.asarray(dt) * _sep_rate(setup, u)
+
+    fused = make_band_delassus_apply(setup, res.dual, dt, k_band,
+                                     mobility_i=mobc, mobility_j=mobc)
+    m = np.asarray(setup.pairs.mask)
+    np.testing.assert_allclose(np.asarray(fused(gamma))[m],
+                               np.asarray(general(gamma))[m],
+                               rtol=1e-10, atol=1e-12)
+
+    radii = rng.uniform(0.3, 0.7, n)
+    invdrag = jnp.asarray(1.0 / (6.0 * math.pi * mu * radii))
+
+    def general_poly(g):
+        f = collision_forces(setup, g, n)
+        u = invdrag[:, None] * f
+        return jnp.asarray(dt) * _sep_rate(setup, u)
+
+    mi = invdrag[jnp.minimum(setup.pairs.i, n - 1)]
+    mj = invdrag[jnp.minimum(setup.pairs.j, n - 1)]
+    fused_p = make_band_delassus_apply(setup, res.dual, dt, k_band,
+                                       mobility_i=mi, mobility_j=mj)
+    np.testing.assert_allclose(np.asarray(fused_p(gamma))[m],
+                               np.asarray(general_poly(gamma))[m],
+                               rtol=1e-10, atol=1e-12)

@@ -60,16 +60,18 @@ def main(chains=2048):
     timeit(jax.jit(sim._kmc), state, tag="KMC sweep")
     timeit(jax.jit(sim._forces), state, tag="forces (FENE+contact+xl)")
 
-    from mundy_tpu.mobility.spectral import se_rpy_apply_cells
     from mundy_tpu.neighbor.cells3d import build_cells3d
-    from mundy_tpu.ops.pallas.se_grid import (se_bin_dense, se_spread_dense,
-                                              se_interp_dense)
+    from mundy_tpu.ops.pallas.se_grid import (SEGridTiles, se_spread_tiles,
+                                              se_interp_tiles)
     from mundy_tpu.mobility.ewald import ewald_real_apply_cells
-    from mundy_tpu.mobility.spectral import _k_apply
+    from mundy_tpu.mobility.spectral import _k_apply, se_bin_geom
 
-    timeit(jax.jit(lambda p: se_bin_dense(sim.se_geom, p, sim.dtype)),
-           pos, tag="se_bin_dense (per step)")
-    pieces = se_bin_dense(sim.se_geom, pos, sim.dtype)
+    assert isinstance(sim.se_geom, SEGridTiles)
+    print(f"tiles: m={sim.se_geom.m} R={sim.se_geom.R} "
+          f"cells_cap={sim.hydro_cells_grid.capacity}", flush=True)
+    timeit(jax.jit(lambda p: se_bin_geom(sim.se_geom, p, sim.dtype)),
+           pos, tag="se_bin_tiles (per step)")
+    pieces = se_bin_geom(sim.se_geom, pos, sim.dtype)
     timeit(jax.jit(lambda p: build_cells3d(p, sim.hydro_cells_grid)),
            pos, tag="build_cells3d (per step)")
     cells = build_cells3d(pos, sim.hydro_cells_grid)
@@ -80,11 +82,19 @@ def main(chains=2048):
     # the wave chain as ONE jit: a (G, G, G, 3) jit boundary tile-pads the
     # minor axis of 3 to 128 lanes — 32.7 GB at G=400 (the (M, 3) rule)
     def wave(f):
-        grid = se_spread_dense(sim.se_geom, pieces, f)
+        grid = se_spread_tiles(sim.se_geom, pieces, f)
         ugrid = _k_apply(sim.spectral, grid)
-        return se_interp_dense(sim.se_geom, pieces, n,
-                               ugrid.astype(sim.dtype))
+        return se_interp_tiles(sim.se_geom, pieces, ugrid.astype(sim.dtype))
     timeit(jax.jit(wave), f0, tag="wave apply (spread+FFT+interp fused)")
+
+    def wave_fft(t):
+        # build/consume the (G, G, G, 3) grid INSIDE the jit — that shape
+        # crossing the boundary tile-pads the minor axis 42x (32.7 GB)
+        G = sim.spectral.grid_n
+        g = jnp.full((G, G, G, 3), 1e-6, sim.dtype) * (1.0 + 0.0 * t)
+        return jnp.sum(_k_apply(sim.spectral, g)[0, 0, 0])
+    timeit(jax.jit(wave_fft), jnp.asarray(0.0, sim.dtype),
+           tag="  k_apply alone (FFT+screen+iFFT)")
 
     t0 = time.perf_counter()
     state = sim.run_block(state, 4)

@@ -257,6 +257,11 @@ def active_pair_subset_strided(setup: CollisionSetup, margin,
     c_full = pairs.i.shape[0]
     B, W = block_bodies, window
     nb = full_starts.shape[0]
+    dtype = setup.sep0.dtype
+    # the packed-f32 columns below carry ids/cumsums exactly only below the
+    # f32 integer ceiling (shapes are static, so this is a build-time check)
+    assert c_full < (1 << 24) and n_bodies < (1 << 24), \
+        "packed compaction carries ids in f32 (exact below 2^24)"
     act = pairs.mask & (setup.sep0 < margin)
     cum = jnp.cumsum(act.astype(jnp.int32))  # inclusive
     n_act = cum[c_full - 1]
@@ -275,10 +280,38 @@ def active_pair_subset_strided(setup: CollisionSetup, margin,
         jnp.arange(c_full, dtype=jnp.int32), mode="drop")[:nb * W]
     valid = sel < c_full
     sel_c = jnp.minimum(sel, c_full - 1)
-    ai = jnp.where(valid, pairs.i[sel_c], n_bodies)
-    aj = jnp.where(valid, pairs.j[sel_c], n_bodies)
-    an = jnp.where(valid[:, None], setup.normals[sel_c], 0.0)
-    as0 = jnp.where(valid, setup.sep0[sel_c], 1.0)
+
+    # ONE packed row gather for every per-full-slot column (ids, normals,
+    # sep0, dual slot, warm-start cumsums, entry multipliers). The column-
+    # at-a-time formulation paid ~9 separate (A,)-row gathers from loop-
+    # carried arrays — measured 89 ms at 1M bodies on v5e vs ~7 ms for the
+    # packed single gather (the "pack params, gather once" rule).
+    cols = [pairs.i.astype(dtype), pairs.j.astype(dtype),
+            setup.normals[:, 0], setup.normals[:, 1], setup.normals[:, 2],
+            setup.sep0]
+    n_base = len(cols)
+    c_dual = c_prev = c_gf = None
+    if dual_full is not None:
+        c_dual = len(cols)
+        cols.append(dual_full.astype(dtype))
+    if prev is not None:
+        prev_cum, prev_gamma, w_old = prev
+        c_prev = len(cols)
+        cols.append(prev_cum.astype(dtype))
+        # exclusive prev cumsum as its own column: replaces the second
+        # (sel_c - 1)-indexed gather the was-active test used to pay
+        cols.append(jnp.concatenate([jnp.zeros((1,), dtype),
+                                     prev_cum[:-1].astype(dtype)]))
+        if gamma_full is not None:
+            c_gf = len(cols)
+            cols.append(gamma_full)
+    packed = jnp.stack(cols, axis=1)  # (C, ncols)
+    g = packed[sel_c]  # (A, ncols) — the one gather
+
+    ai = jnp.where(valid, g[:, 0].astype(jnp.int32), n_bodies)
+    aj = jnp.where(valid, g[:, 1].astype(jnp.int32), n_bodies)
+    an = jnp.where(valid[:, None], g[:, 2:5], 0.0)
+    as0 = jnp.where(valid, g[:, 5], 1.0)
     apairs = PairList(i=ai, j=aj, mask=valid, num_pairs=n_act,
                       overflow=overflow)
     windows = StridedWindows(block_bodies=B, window=W, nb=nb,
@@ -288,7 +321,7 @@ def active_pair_subset_strided(setup: CollisionSetup, margin,
 
     dual = None
     if dual_full is not None:
-        d = dual_full[sel_c]  # full slot of the (j, i) duplicate
+        d = jnp.minimum(g[:, c_dual].astype(jnp.int32), c_full - 1)
         bid_j = jnp.minimum(jnp.minimum(aj, n_bodies - 1) // B, nb - 1)
         rank_j = cum[d] - 1 - base[bid_j]
         self_slot = jnp.arange(nb * W, dtype=jnp.int32)
@@ -297,17 +330,18 @@ def active_pair_subset_strided(setup: CollisionSetup, margin,
 
     gamma0 = None
     if prev is not None:
-        prev_cum, prev_gamma, w_old = prev
         a_old = prev_gamma.shape[0]
         base_old = jnp.where(full_starts > 0,
                              prev_cum[jnp.maximum(full_starts - 1, 0)], 0)
-        pc = prev_cum[sel_c]
-        was_act = pc > jnp.where(sel_c > 0,
-                                 prev_cum[jnp.maximum(sel_c - 1, 0)], 0)
-        rank_old = pc - 1 - base_old[bid[sel_c]]
-        slot_old = jnp.minimum(bid[sel_c] * w_old + rank_old, a_old - 1)
+        pc = g[:, c_prev].astype(jnp.int32)
+        was_act = pc > g[:, c_prev + 1].astype(jnp.int32)
+        # block of active slot p is p // W by construction of the strided
+        # layout — an explicit repeat, not a bid[sel_c] gather
+        bid_a = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), W)
+        rank_old = pc - 1 - jnp.repeat(base_old, W)
+        slot_old = jnp.minimum(bid_a * w_old + rank_old, a_old - 1)
         hit = valid & was_act & (rank_old >= 0) & (rank_old < w_old)
-        g_entry = (gamma_full[sel_c] if gamma_full is not None else 0.0)
+        g_entry = (g[:, c_gf] if c_gf is not None else 0.0)
         gamma0 = jnp.where(hit, prev_gamma[jnp.maximum(slot_old, 0)],
                            jnp.where(valid, g_entry, 0.0))
 
@@ -396,8 +430,17 @@ def collision_setup_spheres(
         sep = metric.sep(pi, pj)
         d = jnp.sqrt(jnp.maximum(jnp.sum(sep * sep, axis=-1), 1e-24))
         normals = sep / d[..., None]
-    radius = jnp.broadcast_to(radius, pos.shape[:1])
-    sep0 = d - radius[pairs.i] - radius[pairs.j]
+    radius = jnp.asarray(radius, pos.dtype)
+    if radius.ndim == 0:
+        # monodisperse: NO radius gathers. XLA cannot fold
+        # broadcast(scalar)[carried_idx] when the indices live in a loop
+        # carry — the two "free" gathers cost ~26 ms at C = 1.6M on v5e
+        # (measured round 4; with compile-time-constant indices they fold
+        # to a splat and cost nothing, which hid this in microbenches).
+        sep0 = d - 2.0 * radius
+    else:
+        radius = jnp.broadcast_to(radius, pos.shape[:1])
+        sep0 = d - radius[pairs.i] - radius[pairs.j]
     return CollisionSetup(pairs=pairs, normals=normals, sep0=sep0,
                           j_perm=j_perm, windows=windows)
 

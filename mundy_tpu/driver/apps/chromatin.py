@@ -264,7 +264,7 @@ class ChromatinSim:
             self.fs_cell_capacity = 256
         self.spectral = None
         if c.hydro == "rpy_spectral":
-            from mundy_tpu.mobility.spectral import make_se_geometry
+            from mundy_tpu.mobility.spectral import make_se_geometry_tiles
             # r_cut from the LOCAL bead spacing (2r: chains are touching
             # bead strings), not the box-mean spacing — clustered systems
             # otherwise put O(1000) bodies inside the real-space cutoff
@@ -273,20 +273,14 @@ class ChromatinSim:
             self.spectral = build_spectral_ewald(
                 c.box_size, c.bead_radius, c.viscosity, tol=1e-4,
                 xi=s2 / r_cut, r_cut=r_cut, dtype=self.dtype)
-            # clustered chains exceed the Poisson-max slot bound of the
-            # near-uniform default: scale the SE binning row capacity by the
-            # local/mean density ratio of touching-bead chains (capped at
-            # close packing), mirroring the hydro_cells_grid bound below.
-            mean_per_vol = self.N / c.box_size ** 3
-            d = 2.0 * c.bead_radius
-            local_per_vol = 0.74 / (_math.pi / 6.0 * d ** 3)  # close packing
-            density_ratio = max(local_per_vol / max(mean_per_vol, 1e-30), 1.0)
-            # cap the slack: every gridding term scales with R, and a fully
-            # close-packed row column never occurs — overflow is flagged and
-            # the host regrow loop handles further densification
-            se_slack = min(density_ratio, 3.0)
-            self.se_geom = make_se_geometry(self.spectral, self.N,
-                                            capacity_slack=se_slack)
+            # 3D-TILE gridding (round-4): the (y, z)-column row layout let
+            # a chain clustered along x blow the column capacity to the
+            # chain length (measured se_R = 1688 at 1M -> 893 ms wave
+            # applies); tiles bound occupancy locally on all three axes.
+            # Capacity starts at the near-uniform Poisson bound x slack and
+            # is right-sized from MEASURED tile occupancy at init.
+            self.se_geom = make_se_geometry_tiles(self.spectral, self.N,
+                                                  capacity_slack=1.5)
             # real-space correction runs on the dense 3D-cell engine (no
             # neighbor matrix: its K-pass build alone cost ~20 s at 262k
             # with wide hydro cutoffs). Cell capacity from the close-packing
@@ -369,20 +363,34 @@ class ChromatinSim:
             pos = pos * scale
 
         if self.spectral is not None:
-            # right-size the SE binning row capacity from the MEASURED
-            # initial occupancy (clustered chains beat any density-ratio
+            # right-size the SE tile capacity from the MEASURED initial
+            # occupancy (clustered chains beat any density-ratio
             # heuristic); the sticky overflow flag + host regrow catch
             # later densification
             g = self.se_geom
             h = c.box_size / g.G
             p = np.asarray(pos)
-            nyz = g.G // g.m
-            iy = np.clip((p[:, 1] / (g.m * h)).astype(int), 0, nyz - 1)
-            iz = np.clip((p[:, 2] / (g.m * h)).astype(int), 0, nyz - 1)
-            occ = int(np.bincount(iy * nyz + iz, minlength=nyz * nyz).max())
+            nt1 = g.G // g.m
+            it = np.clip((p / (g.m * h)).astype(int), 0, nt1 - 1)
+            tile = (it[:, 0] * nt1 + it[:, 1]) * nt1 + it[:, 2]
+            occ = int(np.bincount(tile, minlength=nt1 ** 3).max())
             need = ((int(occ * 1.5) + 8 + 7) // 8) * 8
-            if need > g.R:
-                self.se_geom = g._replace(R=need)
+            if need != g.R:
+                self.se_geom = g._replace(R=max(need, 8))
+            # hydro 3D-cell capacity from MEASURED occupancy too: the
+            # real-space pair scan costs ~ capacity^2 per cell, and the
+            # close-packing bound in __init__ (cap ~ 72 at r_cut 3.5) is
+            # several times the measured clustered max — overflow is
+            # flagged per step and regrown, so the tight cap is safe
+            g3 = self.hydro_cells_grid
+            edge = np.asarray(jax.device_get(g3.edge))
+            dims = np.asarray([g3.nx, g3.ny, g3.nz])
+            ic = np.clip((p / edge).astype(int), 0, dims - 1)
+            cell = (ic[:, 0] * g3.ny + ic[:, 1]) * g3.nz + ic[:, 2]
+            occ3 = int(np.bincount(cell, minlength=dims.prod()).max())
+            cap3 = max(8, ((int(occ3 * 1.4) + 4 + 7) // 8) * 8)
+            if cap3 < g3.capacity:
+                self.hydro_cells_grid = g3.replace(capacity=cap3)
             if self._mesh is not None:
                 self._make_sharded_se()
 
@@ -722,8 +730,8 @@ class ChromatinSim:
             else:
                 from mundy_tpu.mobility.spectral import se_rpy_apply_cells
                 from mundy_tpu.neighbor.cells3d import build_cells3d
-                from mundy_tpu.ops.pallas.se_grid import se_bin_dense
-                pieces = se_bin_dense(self.se_geom, state.pos, self.dtype)
+                from mundy_tpu.mobility.spectral import se_bin_geom
+                pieces = se_bin_geom(self.se_geom, state.pos, self.dtype)
                 cells = build_cells3d(state.pos, self.hydro_cells_grid)
                 vel, se_ovf = se_rpy_apply_cells(
                     self.spectral, cells, state.pos, f, (c.box_size,) * 3,

@@ -39,7 +39,7 @@ from mundy_tpu.mobility import (
     rpy_apply_neighbors,
     se_rpy_apply,
 )
-from mundy_tpu.mobility.spectral import make_se_geometry
+from mundy_tpu.mobility.spectral import make_se_geometry_tiles
 from mundy_tpu.neighbor import (
     build_cell_list,
     build_pair_list_ordered,
@@ -197,7 +197,7 @@ class LCPSpheresSim:
             self.spectral = build_spectral_ewald(
                 c.box_size, c.radius, c.viscosity, tol=1e-4,
                 n_particles=c.num_spheres, dtype=self.dtype)
-            self.se_geom = make_se_geometry(self.spectral, c.num_spheres)
+            self.se_geom = make_se_geometry_tiles(self.spectral, c.num_spheres)
             self.hydro_cells_grid = make_cell_grid3d(
                 [c.box_size] * 3, self.spectral.base.r_cut, c.num_spheres,
                 dtype=self.dtype)
@@ -449,8 +449,8 @@ class LCPSpheresSim:
             # the fused nested-while run program.
             from mundy_tpu.mobility.spectral import se_rpy_apply_cells
             from mundy_tpu.neighbor.cells3d import build_cells3d
-            from mundy_tpu.ops.pallas.se_grid import se_bin_dense
-            pieces = se_bin_dense(self.se_geom, pos, self.dtype)
+            from mundy_tpu.mobility.spectral import se_bin_geom
+            pieces = se_bin_geom(self.se_geom, pos, self.dtype)
             cells = build_cells3d(pos, self.hydro_cells_grid)
             # overflow: binning rows (pieces[1]) and cells — both DROP
             # bodies from the hydro sum, so surface them to the caller

@@ -47,7 +47,7 @@ def make_sharded_se_rpy_apply(
     apply_fn(pos, forces) -> (velocities, overflow): jitted shard_map over
     the mesh; pos/forces are (N, 3) arrays sharded (or shardable) over
     `axis` on their first dimension (N divisible by the axis size).
-    `geom` from make_se_geometry sized for the PER-SHARD particle count
+    `geom` from make_se_geometry(_tiles) sized for the PER-SHARD particle count
     (N/d); `cells_grid` from make_cell_grid3d for the full N.
     """
     from mundy_tpu.neighbor.cells3d import (
@@ -56,10 +56,16 @@ def make_sharded_se_rpy_apply(
         pair_apply_cells3d,
     )
     from mundy_tpu.ops.pallas.se_grid import (
+        SEGridTiles,
         se_bin_dense,
+        se_bin_tiles,
         se_interp_dense,
+        se_interp_tiles,
         se_spread_dense,
+        se_spread_tiles,
     )
+
+    tiled = isinstance(geom, SEGridTiles)
 
     d = mesh.shape[axis]
     if n_total % d != 0:
@@ -88,11 +94,20 @@ def make_sharded_se_rpy_apply(
         f_all = allgather(f_l)
 
         # ---- wave space: local spread -> psum'd grid -> replicated FFT
-        pieces = se_bin_dense(geom, pos_l, pos_l.dtype)
-        grid = se_spread_dense(geom, pieces, f_l)
+        # (geometry dispatch: 3D tiles for clustered systems, rows else)
+        if tiled:
+            pieces = se_bin_tiles(geom, pos_l, pos_l.dtype)
+            grid = se_spread_tiles(geom, pieces, f_l)
+        else:
+            pieces = se_bin_dense(geom, pos_l, pos_l.dtype)
+            grid = se_spread_dense(geom, pieces, f_l)
         grid = jax.lax.psum(grid, axis)
         ugrid = _k_apply(op, grid)
-        uw = se_interp_dense(geom, pieces, n_local, ugrid.astype(pos_l.dtype))
+        if tiled:
+            uw = se_interp_tiles(geom, pieces, ugrid.astype(pos_l.dtype))
+        else:
+            uw = se_interp_dense(geom, pieces, n_local,
+                                 ugrid.astype(pos_l.dtype))
         overflow = pieces[1]
 
         # ---- real space: replicated cells, x-slab evaluation

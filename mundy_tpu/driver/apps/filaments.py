@@ -27,11 +27,101 @@ from jax import Array
 
 from mundy_tpu.core.config import validate_config
 from mundy_tpu.core.containers import pytree_dataclass
-from mundy_tpu.dynamics import brownian_velocity
+from mundy_tpu.dynamics import brownian_velocity_keyed
 from mundy_tpu.forces.contact import effective_youngs, hertzian_pair_force
 from mundy_tpu.geom import periodic
 from mundy_tpu.mech import RodState, init_rod_edges, rod_internal_forces, update_rod_edges
 from mundy_tpu.neighbor import build_cell_list, make_cell_grid, neighbor_matrix
+
+
+def segment_contact_split_forces(payload_own, payload_all, idx, mask,
+                                 metric, two_r, r_eff, e_eff):
+    """Hertzian segment-segment contact for `payload_own` rows against
+    candidates gathered from `payload_all` — the shared narrow phase of the
+    single-device app (own == all) and the sharded engine (own = the
+    shard's (S/d, 6) block, all = the replicated (S, 6) payload), so the
+    two paths are arithmetically identical per segment.
+
+    payload rows are [mid(3), half_edge(3)]; returns (f_start, f_end) of
+    shape (S_own, 3) — the contact force split to the segment's two nodes
+    by the arc parameter of the closest point.
+    """
+    from mundy_tpu.geom.distance import segment_closest_planes
+    from mundy_tpu.neighbor.rows import orthorhombic_lengths
+
+    n_all = payload_all.shape[0]
+    idx = jnp.minimum(idx, n_all - 1)
+    cand = payload_all[idx]  # (S_own, K, 6) — the one gather
+    candT = jnp.transpose(cand, (2, 1, 0))  # (6, K, S_own)
+    ownT = payload_own.T
+    SX = candT[0] - ownT[0][None, :]
+    SY = candT[1] - ownT[1][None, :]
+    SZ = candT[2] - ownT[2][None, :]
+    box = orthorhombic_lengths(metric)
+    if box is not None:
+        (lx, ly, lz), (px, py, pz) = box
+        if px:
+            SX = SX - lx * jnp.round(SX * (1.0 / lx))
+        if py:
+            SY = SY - ly * jnp.round(SY * (1.0 / ly))
+        if pz:
+            SZ = SZ - lz * jnp.round(SZ * (1.0 / lz))
+    else:
+        sep = metric.sep(payload_own[:, None, :3], cand[..., :3])
+        SX, SY, SZ = (jnp.transpose(sep, (2, 1, 0))[i] for i in range(3))
+    s, _t, DX, DY, DZ, d2 = segment_closest_planes(
+        SX, SY, SZ,
+        ownT[3][None, :], ownT[4][None, :], ownT[5][None, :],
+        candT[3], candT[4], candT[5])
+    d2c = jnp.maximum(d2, 1e-24)
+    rinv = jax.lax.rsqrt(d2c)
+    dist = d2c * rinv
+    mag = hertzian_pair_force(dist - two_r, r_eff, e_eff)
+    w = jnp.where(mask.T, -(mag * rinv), 0.0)  # (K, S_own)
+    fx, fy, fz = w * DX, w * DY, w * DZ
+    # distribute to segment nodes by the arc parameter of the contact
+    ws, we = 1.0 - s, s
+    f_start = jnp.stack([jnp.sum(ws * fx, axis=0),
+                         jnp.sum(ws * fy, axis=0),
+                         jnp.sum(ws * fz, axis=0)], axis=-1)
+    f_end = jnp.stack([jnp.sum(we * fx, axis=0),
+                       jnp.sum(we * fy, axis=0),
+                       jnp.sum(we * fz, axis=0)], axis=-1)
+    return f_start, f_end
+
+
+def rft_velocity(pos, f, inv_drag, drag_anisotropy):
+    """Resistive-force-theory mobility: v = F_par/gamma_par +
+    F_perp/gamma_perp with the node tangent from adjacent edges.
+    Anisotropy is what converts a curvature wave into net propulsion.
+    Shape-agnostic on the leading (filament) axis — shared by the
+    single-device app and the sharded engine."""
+    edge_t = pos[:, 1:, :] - pos[:, :-1, :]
+    edge_t = edge_t / jnp.maximum(
+        jnp.linalg.norm(edge_t, axis=-1, keepdims=True), 1e-12)
+    node_t = jnp.concatenate(
+        [edge_t[:, :1, :],
+         0.5 * (edge_t[:, :-1, :] + edge_t[:, 1:, :]),
+         edge_t[:, -1:, :]], axis=1)
+    node_t = node_t / jnp.maximum(
+        jnp.linalg.norm(node_t, axis=-1, keepdims=True), 1e-12)
+    f_par = jnp.sum(f * node_t, axis=-1, keepdims=True) * node_t
+    f_perp = f - f_par
+    return inv_drag * (f_par + f_perp / drag_anisotropy)
+
+
+def rest_curvature_wave(step, n_fil, n_edges, amplitude, wave_k, wave_omega,
+                       segment_length, dt, dtype):
+    """Active rest-curvature wave kappa0(s, t) (the swimming drive,
+    Sperm.cpp rest-curvature modulation) — filament-independent, so the
+    sharded engine's per-shard slice equals the single-device rows."""
+    if amplitude == 0.0:
+        return jnp.zeros((n_fil, n_edges - 1, 3), dtype)
+    s_arc = jnp.arange(1, n_edges, dtype=dtype) * segment_length
+    t = step.astype(dtype) * dt
+    wave = amplitude * jnp.sin(wave_k * s_arc - wave_omega * t)
+    k0 = jnp.zeros((n_fil, n_edges - 1, 3), dtype)
+    return k0.at[..., 0].set(wave[None, :])
 
 
 @dataclasses.dataclass
@@ -281,53 +371,15 @@ class FilamentsSim:
         segment kernel on (K, N) planes (lane axis = N, so no 4x lane
         padding from a (..., 3) minor axis). Same arithmetic as
         RodsSim._contact_forces_torques."""
-        from mundy_tpu.geom.distance import segment_closest_planes
-        from mundy_tpu.neighbor.rows import orthorhombic_lengths
-
         c = self.config
         a, b, mid = self._segments(pos)
         e = 0.5 * (b - a)
-        idx = jnp.minimum(nmat.idx, self.S - 1)
         payload = jnp.concatenate([mid, e], axis=1)  # (S, 6)
-        cand = payload[idx]  # (S, K, 6) — the one gather
-        candT = jnp.transpose(cand, (2, 1, 0))  # (6, K, S)
-        ownT = payload.T
-        SX = candT[0] - ownT[0][None, :]
-        SY = candT[1] - ownT[1][None, :]
-        SZ = candT[2] - ownT[2][None, :]
-        box = orthorhombic_lengths(self.metric)
-        if box is not None:
-            (lx, ly, lz), (px, py, pz) = box
-            if px:
-                SX = SX - lx * jnp.round(SX * (1.0 / lx))
-            if py:
-                SY = SY - ly * jnp.round(SY * (1.0 / ly))
-            if pz:
-                SZ = SZ - lz * jnp.round(SZ * (1.0 / lz))
-        else:
-            sep = self.metric.sep(mid[:, None, :], mid[idx])
-            SX, SY, SZ = (jnp.transpose(sep, (2, 1, 0))[i] for i in range(3))
-        s, _t, DX, DY, DZ, d2 = segment_closest_planes(
-            SX, SY, SZ,
-            ownT[3][None, :], ownT[4][None, :], ownT[5][None, :],
-            candT[3], candT[4], candT[5])
-        d2c = jnp.maximum(d2, 1e-24)
-        rinv = jax.lax.rsqrt(d2c)
-        dist = d2c * rinv
         e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
                                  c.poissons_ratio, c.poissons_ratio)
-        mag = hertzian_pair_force(dist - 2.0 * c.radius,
-                                  float(0.5 * c.radius), float(e_eff))
-        w = jnp.where(nmat.mask.T, -(mag * rinv), 0.0)  # (K, S)
-        fx, fy, fz = w * DX, w * DY, w * DZ
-        # distribute to segment nodes by the arc parameter of the contact
-        ws, we = 1.0 - s, s
-        f_start = jnp.stack([jnp.sum(ws * fx, axis=0),
-                             jnp.sum(ws * fy, axis=0),
-                             jnp.sum(ws * fz, axis=0)], axis=-1)
-        f_end = jnp.stack([jnp.sum(we * fx, axis=0),
-                           jnp.sum(we * fy, axis=0),
-                           jnp.sum(we * fz, axis=0)], axis=-1)
+        f_start, f_end = segment_contact_split_forces(
+            payload, payload, nmat.idx, nmat.mask, self.metric,
+            2.0 * c.radius, float(0.5 * c.radius), float(e_eff))
         node_f = jnp.zeros((self.F, self.M, 3), self.dtype)
         node_f = node_f.at[:, :-1, :].add(f_start.reshape(self.F, self.E, 3))
         node_f = node_f.at[:, 1:, :].add(f_end.reshape(self.F, self.E, 3))
@@ -335,13 +387,9 @@ class FilamentsSim:
 
     def _rest_curvature(self, step: Array) -> Array:
         c = self.config
-        if c.active_amplitude == 0.0:
-            return jnp.zeros((self.F, self.E - 1, 3), self.dtype)
-        s_arc = jnp.arange(1, self.E, dtype=self.dtype) * c.segment_length
-        t = step.astype(self.dtype) * c.dt
-        wave = c.active_amplitude * jnp.sin(c.wave_k * s_arc - c.wave_omega * t)
-        k0 = jnp.zeros((self.F, self.E - 1, 3), self.dtype)
-        return k0.at[..., 0].set(wave[None, :])
+        return rest_curvature_wave(step, self.F, self.E, c.active_amplitude,
+                                   c.wave_k, c.wave_omega, c.segment_length,
+                                   c.dt, self.dtype)
 
     def _inner_step(self, state: FilamentsState) -> FilamentsState:
         c = self.config
@@ -351,25 +399,16 @@ class FilamentsSim:
             c.bend_modulus, c.stretch_stiffness, c.segment_length,
         )
         f = f_rod + self._contact_node_forces(pos, state.nmat)
-        # resistive-force-theory mobility: v = F_par/gamma_par +
-        # F_perp/gamma_perp with the node tangent from adjacent edges.
-        # Anisotropy is what converts a curvature wave into net propulsion.
-        edge_t = pos[:, 1:, :] - pos[:, :-1, :]
-        edge_t = edge_t / jnp.maximum(
-            jnp.linalg.norm(edge_t, axis=-1, keepdims=True), 1e-12)
-        node_t = jnp.concatenate(
-            [edge_t[:, :1, :],
-             0.5 * (edge_t[:, :-1, :] + edge_t[:, 1:, :]),
-             edge_t[:, -1:, :]], axis=1)
-        node_t = node_t / jnp.maximum(
-            jnp.linalg.norm(node_t, axis=-1, keepdims=True), 1e-12)
-        f_par = jnp.sum(f * node_t, axis=-1, keepdims=True) * node_t
-        f_perp = f - f_par
-        vel = self.inv_drag * (f_par + f_perp / c.drag_anisotropy)
+        vel = rft_velocity(pos, f, self.inv_drag, c.drag_anisotropy)
         if c.diffusion_coeff > 0:
-            bv = brownian_velocity(state.key, state.step, self.F * self.M,
-                                   jnp.asarray(c.diffusion_coeff, self.dtype),
-                                   c.dt, dtype=self.dtype)
+            # gid-keyed counter stream (pure function of key/step/gid) —
+            # shard-local generation in the sharded engine yields identical
+            # noise (parallel/filaments_shard.py), same as chromatin
+            bv = brownian_velocity_keyed(
+                state.key, state.step,
+                jnp.arange(self.F * self.M, dtype=jnp.int32),
+                jnp.asarray(c.diffusion_coeff, self.dtype),
+                c.dt, dtype=self.dtype)
             vel = vel + bv.reshape(self.F, self.M, 3)
         new_pos = pos + jnp.asarray(c.dt, self.dtype) * vel
         rod = update_rod_edges(state.rod, new_pos,

@@ -46,15 +46,26 @@ from mundy_tpu.neighbor import (build_cell_list, neighbor_matrix_query)
 def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
     """Build (shard_fn, step_block_fn, gather_fn) for a ChromatinSim.
 
-    Requirements: hydro == "none" (the spectral mobility shards separately,
-    parallel/spectral_shard.py), num_chains % d == 0, X % d == 0 (0 ok),
-    non-periodic or periodic both supported (the single-device contact
-    search must be on the cell-list path for bit-matching rows — confined
-    configs always are).
+    Requirements: hydro in ("none", "rpy_spectral") — with "rpy_spectral"
+    the spectral-Ewald Stokes mobility runs INSIDE the same shard_map
+    program (per-shard gridding + one psum'd grid + slab-evaluated real
+    space, parallel/spectral_shard.make_se_local_apply), so config #5's
+    contact + FENE + KMC + hydro execute as ONE distributed step — the
+    reference runs the whole HP1 loop under one MPI world
+    (`HP1...neigh_linker.cpp:1377-1524`). Also num_chains % d == 0,
+    X % d == 0 (0 ok), non-periodic or periodic both supported (the
+    single-device contact search must be on the cell-list path for
+    bit-matching rows — confined configs always are).
+
+    Parity: with hydro == "none" trajectories match the single-device app
+    bit-identically (zero crosslinkers) or to summation-order rounding;
+    with "rpy_spectral" the per-shard grid spread + psum reorders the
+    wave-space summation, so parity is to floating-point tolerance.
     """
     c = sim.config
     d = mesh.shape[axis]
-    assert c.hydro == "none", "sharded step covers the dry pipeline"
+    assert c.hydro in ("none", "rpy_spectral"), \
+        "sharded step covers the dry pipeline and spectral hydro"
     assert c.num_chains % d == 0, "shards own whole chains"
     N, X = sim.N, sim.X
     assert X % d == 0
@@ -64,15 +75,42 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
     metric = sim.metric if sim.periodic else None
     inv_drag = sim.inv_drag
 
+    se_apply = None
+    if c.hydro == "rpy_spectral":
+        from mundy_tpu.parallel.spectral_shard import make_se_local_apply
+        assert N % d == 0, "spectral hydro shards flat bead blocks"
+        # sim.se_geom's R/capacity are right-sized for the FULL N — a safe
+        # bound for any shard's subset (see ChromatinSim._make_sharded_se)
+        se_apply = make_se_local_apply(
+            axis, d, sim.spectral, sim.se_geom, sim.hydro_cells_grid,
+            N, (c.box_size,) * 3)
+
     def shard_fn(state):
         """Full ChromatinState -> dict of (d, ...) sharded blocks."""
         def blocks(a, nl):
             return np.asarray(jax.device_get(a)).reshape((d, nl)
                                                          + a.shape[1:])
+
+        # normalize the contact rows to this engine's query width K: the
+        # single-device periodic search may be on the rows broad phase
+        # (width contact_K + n_excl) — content is irrelevant here because
+        # local_block rebuilds at outer entry before the first step
+        def fit_k(a, fill):
+            w = a.shape[1]
+            if w == K:
+                return a
+            if w > K:
+                return a[:, :K]
+            pad = np.full((a.shape[0], K - w) + a.shape[2:], fill, a.dtype)
+            return np.concatenate([np.asarray(a), pad], axis=1)
+
+        nmat_idx = fit_k(np.asarray(jax.device_get(state.nmat.idx)), N)
+        nmat_mask = fit_k(np.asarray(jax.device_get(state.nmat.mask)),
+                          False)
         out = {
             "pos": blocks(state.pos, Nl),
-            "nmat_idx": blocks(state.nmat.idx, Nl),
-            "nmat_mask": blocks(state.nmat.mask, Nl),
+            "nmat_idx": nmat_idx.reshape((d, Nl, K)),
+            "nmat_mask": nmat_mask.reshape((d, Nl, K)),
             "ref_pos": blocks(state.ref_pos, Nl),
             "key": np.broadcast_to(np.asarray(state.key), (d,)
                                    + state.key.shape).copy(),
@@ -190,7 +228,15 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
                     mask=st["xl_active"], metric=metric)
                 f = f + jax.lax.dynamic_slice_in_dim(
                     jax.lax.psum(f_xl, axis), shard_id * Nl, Nl)
-            vel = inv_drag * f
+            if se_apply is not None:
+                # spectral-Ewald Stokes INSIDE the sharded step: reuse the
+                # ghosted positions; forces need one all-gather of their own
+                f_all = jax.lax.all_gather(f, axis, tiled=True)
+                vel, se_ovf = se_apply(st["pos"], f, pos_all=pos_rep,
+                                       f_all=f_all)
+                st = {**st, "overflow": st["overflow"] | se_ovf}
+            else:
+                vel = inv_drag * f
             if c.diffusion_coeff > 0:
                 gid = shard_id * Nl + jnp.arange(Nl, dtype=jnp.int32)
                 vel = vel + brownian_velocity_keyed(

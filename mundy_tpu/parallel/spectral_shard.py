@@ -32,23 +32,29 @@ from mundy_tpu.mobility.ewald import rpy_real_cells_kernel
 from mundy_tpu.mobility.spectral import SpectralEwaldRPY, _k_apply
 
 
-def make_sharded_se_rpy_apply(
-    mesh: Mesh,
+def make_se_local_apply(
     axis: str,
+    d: int,
     op: SpectralEwaldRPY,
     geom,
     cells_grid,
     n_total: int,
     box_lengths,
-    dtype=jnp.float32,
 ):
-    """Returns (apply_fn, shard_in, shard_out).
+    """Shard-LOCAL spectral-Ewald RPY apply for composition inside an
+    existing `shard_map` program over mesh axis `axis` of size `d`.
 
-    apply_fn(pos, forces) -> (velocities, overflow): jitted shard_map over
-    the mesh; pos/forces are (N, 3) arrays sharded (or shardable) over
-    `axis` on their first dimension (N divisible by the axis size).
-    `geom` from make_se_geometry(_tiles) sized for the PER-SHARD particle count
-    (N/d); `cells_grid` from make_cell_grid3d for the full N.
+    Returns local_apply(pos_l, f_l, pos_all=None, f_all=None) ->
+    (u_local, overflow) where pos_l/f_l are the shard's (N/d, 3) blocks and
+    pos_all/f_all are optional pre-gathered (N, 3) replicas (saves the
+    all-gathers when the caller already holds them, e.g. the full sharded
+    chromatin step which ghosts positions every step anyway).
+
+    This is the engine behind make_sharded_se_rpy_apply; the full sharded
+    chromatin step (parallel/chromatin_shard.py) reuses it so config #5's
+    contact + KMC + hydro run in ONE distributed program (the reference
+    runs the whole HP1 loop under one MPI world,
+    `HP1...neigh_linker.cpp:1377-1524`).
     """
     from mundy_tpu.neighbor.cells3d import (
         build_cells3d,
@@ -66,8 +72,6 @@ def make_sharded_se_rpy_apply(
     )
 
     tiled = isinstance(geom, SEGridTiles)
-
-    d = mesh.shape[axis]
     if n_total % d != 0:
         raise ValueError("n_total must divide the mesh axis")
     n_local = n_total // d
@@ -77,21 +81,22 @@ def make_sharded_se_rpy_apply(
     nxl = -(-nx // d)
     L = tuple(float(v) for v in box_lengths)
     kernel = rpy_real_cells_kernel(op.base)
-    self_coeff = op.base.self_coeff
 
-    def local_fn(pos_l, f_l):
+    def local_apply(pos_l, f_l, pos_all=None, f_all=None):
         me = jax.lax.axis_index(axis)
-        lane = jnp.arange(n_local, dtype=jnp.int32)
 
-        # ---- all-gather positions + forces (one psum each)
+        # ---- all-gather positions + forces (one psum each) unless the
+        # caller already ghosted them
         def allgather(v):
             buf = jnp.zeros((n_total, 3), v.dtype)
             buf = jax.lax.dynamic_update_slice_in_dim(
                 buf, v, me * n_local, axis=0)
             return jax.lax.psum(buf, axis)
 
-        pos_all = allgather(pos_l)
-        f_all = allgather(f_l)
+        if pos_all is None:
+            pos_all = allgather(pos_l)
+        if f_all is None:
+            f_all = allgather(f_l)
 
         # ---- wave space: local spread -> psum'd grid -> replicated FFT
         # (geometry dispatch: 3D tiles for clustered systems, rows else)
@@ -133,12 +138,36 @@ def make_sharded_se_rpy_apply(
         # the cells self term IS self_coeff (sep = 0 pair), so no extra add
         u = u_local + uw
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis) > 0
-        del lane
         return u, overflow
+
+    return local_apply
+
+
+def make_sharded_se_rpy_apply(
+    mesh: Mesh,
+    axis: str,
+    op: SpectralEwaldRPY,
+    geom,
+    cells_grid,
+    n_total: int,
+    box_lengths,
+    dtype=jnp.float32,
+):
+    """Returns (apply_fn, shard_in).
+
+    apply_fn(pos, forces) -> (velocities, overflow): jitted shard_map over
+    the mesh; pos/forces are (N, 3) arrays sharded (or shardable) over
+    `axis` on their first dimension (N divisible by the axis size).
+    `geom` from make_se_geometry(_tiles) sized for the PER-SHARD particle
+    count (N/d); `cells_grid` from make_cell_grid3d for the full N.
+    """
+    d = mesh.shape[axis]
+    local_apply = make_se_local_apply(axis, d, op, geom, cells_grid,
+                                      n_total, box_lengths)
 
     apply_fn = jax.jit(
         jax.shard_map(
-            local_fn, mesh=mesh,
+            local_apply, mesh=mesh,
             in_specs=(P(axis), P(axis)),
             out_specs=(P(axis), P()),
             check_vma=False,

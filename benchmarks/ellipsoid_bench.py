@@ -37,8 +37,8 @@ def main(n=20000):
     @jax.jit
     def narrow(s):
         def body(_, x):
-            f, tau = sim._contact_forces_torques_ellipsoid(x.pos, x.quat,
-                                                           x.nmat)
+            f, tau, _nrm = sim._contact_forces_torques_ellipsoid(
+                x.pos, x.quat, x.nmat)
             return x.replace(pos=x.pos + 0.0 * f)
         return jax.lax.fori_loop(0, 8, body, s)
 
@@ -47,10 +47,31 @@ def main(n=20000):
     dt = (time.perf_counter() - t0) / 8
     pairs = n * cfg.max_neighbors
     print(json.dumps({
-        "metric": "ellipsoid narrow phase (PGD24 + LBFGS8)",
+        "metric": "ellipsoid narrow phase (PGD24 + LBFGS8, cold)",
         "n": n, "ms_per_step": 1e3 * dt,
         "candidate_pairs": pairs,
         "ns_per_candidate_pair": 1e9 * dt / pairs,
+    }))
+
+    # temporal warm start: seed from the persisted slot normals, single
+    # start, reduced PGD budget (the production between-rebuild path)
+    @jax.jit
+    def narrow_warm(s):
+        def body(_, x):
+            f, tau, nrm = sim._contact_forces_torques_ellipsoid(
+                x.pos, x.quat, x.nmat, warm_n=x.warm_n)
+            return x.replace(pos=x.pos + 0.0 * f, warm_n=nrm)
+        return jax.lax.fori_loop(0, 8, body, s)
+
+    out = narrow_warm(state); fence(out.pos)
+    t0 = time.perf_counter(); out = narrow_warm(state); fence(out.pos)
+    dtw = (time.perf_counter() - t0) / 8
+    print(json.dumps({
+        "metric": f"ellipsoid narrow phase (warm PGD{cfg.ellipsoid_warm_pgd_iters} + LBFGS8)",
+        "n": n, "ms_per_step": 1e3 * dtw,
+        "candidate_pairs": pairs,
+        "ns_per_candidate_pair": 1e9 * dtw / pairs,
+        "speedup_vs_cold": dt / dtw,
     }))
 
 

@@ -65,6 +65,14 @@ class RodsConfig:
     shape: str = "spherocylinder"
     ellipsoid_pgd_iters: int = 24
     ellipsoid_refine_iters: int = 8
+    # temporal warm start (ellipsoid narrow phase): persist each pair
+    # slot's converged shared normal; between rebuilds seed the PGD from
+    # it and skip the 7-point multistart (the full sweep runs once per
+    # rebuild to initialize the slots). Contact normals are strongly
+    # step-coherent at dt where contacts persist — measured >= 3x on the
+    # per-pair cost (benchmarks/ellipsoid_bench.py).
+    ellipsoid_warm_start: bool = True
+    ellipsoid_warm_pgd_iters: int = 6
 
     def __validate__(self):
         assert self.length >= 0 and self.radius > 0
@@ -83,6 +91,9 @@ class RodsState:
     ref_pos: Array
     rebuild_count: Array
     overflow: Array
+    # (N, K, 3) per-pair-slot shared normals (ellipsoid warm start; a
+    # (1, 1, 3) placeholder for spherocylinder runs)
+    warm_n: Array = None
 
 
 class RodsSim:
@@ -218,16 +229,12 @@ class RodsSim:
             jnp.sum(px_ * fy - py_ * fx, axis=0)], axis=-1)
         return force, torque
 
-    def _contact_forces_torques_ellipsoid(self, pos: Array, quat: Array,
-                                          nmat):
-        """Prolate-ellipsoid Hertzian contact over the neighbor matrix.
-
-        Narrow phase: shared-normal signed separation via the in-kernel
-        minimization (geom/distance.distance_ellipsoid_ellipsoid, PGD
-        multistart + L-BFGS chart polish — PGD alone stalls at O(0.1)
-        errors on strong anisotropy, see test_geom_distance). ref: the
-        linker kernels dispatching EllipsoidEllipsoid.hpp:45-110.
-        """
+    def _ellipsoid_narrow(self, pos: Array, quat: Array, nmat,
+                          warm_n: Array = None):
+        """Shared-normal narrow phase over the neighbor matrix; `warm_n`
+        (N, K, 3) seeds the per-slot minimization from the previous step's
+        converged normals (skips the 7-point multistart; the full sweep
+        runs once per rebuild to initialize the slots)."""
         from mundy_tpu.geom.primitives import Ellipsoid
 
         c = self.config
@@ -245,9 +252,30 @@ class RodsSim:
         e_cand = Ellipsoid(center=cj, radii=radii[None, None, :],
                            orientation=quat[idx])
         from mundy_tpu.geom.distance import distance_ellipsoid_ellipsoid
+        warm = warm_n is not None
         res = distance_ellipsoid_ellipsoid(
-            e_own, e_cand, newton_iters=c.ellipsoid_pgd_iters,
-            refine="lbfgs", refine_iters=c.ellipsoid_refine_iters)
+            e_own, e_cand,
+            newton_iters=(c.ellipsoid_warm_pgd_iters if warm
+                          else c.ellipsoid_pgd_iters),
+            refine="lbfgs", refine_iters=c.ellipsoid_refine_iters,
+            n0=warm_n)
+        return res, idx
+
+    def _contact_forces_torques_ellipsoid(self, pos: Array, quat: Array,
+                                          nmat, warm_n: Array = None):
+        """Prolate-ellipsoid Hertzian contact over the neighbor matrix.
+
+        Narrow phase: shared-normal signed separation via the in-kernel
+        minimization (geom/distance.distance_ellipsoid_ellipsoid, PGD
+        multistart + L-BFGS chart polish — PGD alone stalls at O(0.1)
+        errors on strong anisotropy, see test_geom_distance). ref: the
+        linker kernels dispatching EllipsoidEllipsoid.hpp:45-110.
+
+        Returns (force, torque, normals) — normals persist as the next
+        step's warm seed.
+        """
+        c = self.config
+        res, _idx = self._ellipsoid_narrow(pos, quat, nmat, warm_n)
         e_eff = effective_youngs(c.youngs_modulus, c.youngs_modulus,
                                  c.poissons_ratio, c.poissons_ratio)
         mag = hertzian_pair_force(res.dist, float(0.5 * c.radius),
@@ -256,13 +284,26 @@ class RodsSim:
         f_pair = -mag[..., None] * res.normal  # push own along -n
         arm = res.point1 - pos[:, None, :]  # contact point on OUR surface
         t_pair = jnp.cross(arm, f_pair)
-        return jnp.sum(f_pair, axis=1), jnp.sum(t_pair, axis=1)
+        # persist normals only for NEAR-contact slots: a stale far-pair
+        # normal traps the next step's single start in a wrong basin as
+        # the pair approaches; blanked rows re-seed from the center-line
+        # direction inside the kernel
+        near = (res.dist < 0.5 * c.radius) & nmat.mask
+        warm_out = jnp.where(near[..., None], res.normal, 0.0)
+        return (jnp.sum(f_pair, axis=1), jnp.sum(t_pair, axis=1), warm_out)
 
     def _inner_step(self, state: RodsState) -> RodsState:
         c = self.config
-        narrow = (self._contact_forces_torques_ellipsoid
-                  if c.shape == "ellipsoid" else self._contact_forces_torques)
-        force, torque = narrow(state.pos, state.quat, state.nmat)
+        warm_out = None
+        if c.shape == "ellipsoid":
+            seed = state.warm_n if c.ellipsoid_warm_start else None
+            force, torque, nrm = self._contact_forces_torques_ellipsoid(
+                state.pos, state.quat, state.nmat, warm_n=seed)
+            if c.ellipsoid_warm_start:
+                warm_out = nrm
+        else:
+            force, torque = self._contact_forces_torques(
+                state.pos, state.quat, state.nmat)
         vel = self.inv_drag_t * force
         omega = self.inv_drag_r * torque
         if c.diffusion_coeff > 0:
@@ -275,13 +316,26 @@ class RodsSim:
                 jnp.asarray(c.rot_diffusion_coeff, self.dtype), c.dt, dtype=self.dtype)
         pos, quat = euler_step_rigid(state.pos, state.quat, vel, omega,
                                      jnp.asarray(c.dt, self.dtype), metric=self.metric)
-        return state.replace(pos=pos, quat=quat, step=state.step + 1)
+        out = state.replace(pos=pos, quat=quat, step=state.step + 1)
+        if warm_out is not None:
+            out = out.replace(warm_n=warm_out)
+        return out
 
     def _rebuild(self, state: RodsState) -> RodsState:
+        c = self.config
         nmat, ovf = self._build_nmat(state.pos)
-        return state.replace(nmat=nmat, ref_pos=state.pos,
-                             rebuild_count=state.rebuild_count + 1,
-                             overflow=state.overflow | ovf)
+        state = state.replace(nmat=nmat, ref_pos=state.pos,
+                              rebuild_count=state.rebuild_count + 1,
+                              overflow=state.overflow | ovf)
+        if c.shape == "ellipsoid" and c.ellipsoid_warm_start:
+            # the rows reordered: re-seed every slot from the full
+            # multistart ONCE per rebuild (cold), so the per-step narrow
+            # phase can ride the single warm seed until the next rebuild
+            res, _idx = self._ellipsoid_narrow(state.pos, state.quat, nmat)
+            near = (res.dist < 0.5 * c.radius) & nmat.mask
+            state = state.replace(
+                warm_n=jnp.where(near[..., None], res.normal, 0.0))
+        return state
 
     def _run_n(self, state: RodsState, n_steps: int) -> RodsState:
         c = self.config
@@ -331,9 +385,16 @@ class RodsSim:
 
         quat = random_unit_quaternions(kq, c.num_rods, dtype=self.dtype)
         nmat, ovf = self._build_nmat(pos)
+        if c.shape == "ellipsoid" and c.ellipsoid_warm_start:
+            res, _i = self._ellipsoid_narrow(pos, quat, nmat)
+            near = (res.dist < 0.5 * c.radius) & nmat.mask
+            warm_n = jnp.where(near[..., None], res.normal, 0.0)
+        else:
+            warm_n = jnp.zeros((1, 1, 3), self.dtype)
         return RodsState(pos=pos, quat=quat, key=ks,
                          step=jnp.asarray(0, jnp.int32), nmat=nmat, ref_pos=pos,
-                         rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf)
+                         rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf,
+                         warm_n=warm_n)
 
     def regrow(self, state: RodsState) -> RodsState:
         """Grow the neighbor capacities and rebuild (driver/regrow.py)."""
@@ -345,7 +406,14 @@ class RodsSim:
         self.rows_slack *= 1.5  # row-slot overflow must also grow R
         self.__dict__.pop("_run_jit", None)
         nmat, ovf = self._build_nmat(state.pos)
-        return state.replace(nmat=nmat, ref_pos=state.pos, overflow=ovf)
+        state = state.replace(nmat=nmat, ref_pos=state.pos, overflow=ovf)
+        if c.shape == "ellipsoid" and c.ellipsoid_warm_start:
+            # K changed: re-seed the warm slots against the regrown rows
+            res, _i = self._ellipsoid_narrow(state.pos, state.quat, nmat)
+            near = (res.dist < 0.5 * c.radius) & nmat.mask
+            state = state.replace(
+                warm_n=jnp.where(near[..., None], res.normal, 0.0))
+        return state
 
     def run(self, state: Optional[RodsState] = None, log=print):
         from mundy_tpu.driver.regrow import run_blocks

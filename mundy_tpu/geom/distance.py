@@ -475,7 +475,8 @@ def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
                                  metric: Optional[Metric] = None,
                                  newton_iters: int = 48,
                                  refine: str = "none",
-                                 refine_iters: int = 12) -> SepResult:
+                                 refine_iters: int = 12,
+                                 n0: Optional[Array] = None) -> SepResult:
     """Shared-normal signed separation between two ellipsoids.
 
     Mirrors the reference's in-kernel minimization
@@ -486,6 +487,13 @@ def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
     gradient descent directly on the unit-sphere of normals (autodiff
     gradient, fixed iterations) from the same multistart budget — no angle
     chart, no gimbal issues, fully vmappable.
+
+    `n0` (optional, (..., 3)): TEMPORAL WARM START — seed the minimization
+    from a previous step's converged shared normal and SKIP the 7-point
+    multistart entirely (contact normals are strongly step-coherent at dt
+    where contacts persist; callers keep per-pair-slot normals between
+    neighbor rebuilds and re-seed cold at rebuilds). Pair with a reduced
+    `newton_iters` (~6): the polish supplies the superlinear tail.
 
     `refine="lbfgs"` then polishes the winning normal with the batched
     no-alloc L-BFGS (math/lbfgs.py — the reference's own minimize.hpp
@@ -505,14 +513,26 @@ def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
 
     grad = jax.grad(lambda n: jnp.sum(objective(n)))
 
-    # Multistart: center-line direction plus 6 axis directions.
-    center_dir = _safe_normal(e2.center - e1.center)
-    eye = jnp.eye(3, dtype=center_dir.dtype)
-    starts = [center_dir]
-    for i in range(3):
-        axis = jnp.broadcast_to(eye[i], center_dir.shape)
-        starts.append(axis)
-        starts.append(-axis)
+    if n0 is not None:
+        # temporal warm start: one seed, no multistart sweep. Rows whose
+        # seed is ~zero (callers blank slots that were NOT near contact
+        # last step — a stale far-pair normal traps the single start in a
+        # wrong basin as the pair approaches) fall back to the center-line
+        # direction, the cold path's primary start.
+        n0b = jnp.broadcast_to(
+            n0, jnp.broadcast_shapes(n0.shape, e1.center.shape))
+        cdir = _safe_normal(e2.center - e1.center)
+        ok = (jnp.sum(n0b * n0b, axis=-1) > 0.25)[..., None]
+        starts = [normalize(jnp.where(ok, n0b, cdir), eps=_EPS)]
+    else:
+        # Multistart: center-line direction plus 6 axis directions.
+        center_dir = _safe_normal(e2.center - e1.center)
+        eye = jnp.eye(3, dtype=center_dir.dtype)
+        starts = [center_dir]
+        for i in range(3):
+            axis = jnp.broadcast_to(eye[i], center_dir.shape)
+            starts.append(axis)
+            starts.append(-axis)
 
     def minimize_from(n0):
         lr0 = jnp.asarray(0.5, n0.dtype)

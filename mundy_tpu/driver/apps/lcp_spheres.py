@@ -643,6 +643,36 @@ class LCPSpheresSim:
         )
         return state
 
+    def _burst(self, state: LCPSpheresState, n_steps):
+        """Up to n_steps inner steps with NO rebuild branch in the program:
+        stops early (done < n_steps) when the skin trigger fires — the
+        host then runs the rebuild as its own program and re-enters.
+
+        Why: carrying the conditional rebuild inside the fused while loop
+        costs ~50 ms/step at 1M (probe_lcp_steps.py: 180 ms/step fused vs
+        129.8 ms for the bare inner step — the cond's untaken branch drags
+        the full pair-list state through every loop iteration). Host-driven
+        cadence pays ~26 ms RTT per burst/rebuild call instead: ~8 ms/step
+        at the steady rebuild period."""
+        target = jnp.asarray(n_steps, jnp.int32)
+        skin_sq = jnp.asarray((0.5 * self.config.constraint_buffer) ** 2,
+                              self.dtype)
+
+        def moved(s):
+            disp = self.metric.sep(s.ref_pos, s.pos)
+            return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
+
+        def cond(carry):
+            s, done = carry
+            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+
+        def body(carry):
+            s, done = carry
+            return self._inner_step(s), done + 1
+
+        return jax.lax.while_loop(cond, body,
+                                  (state, jnp.asarray(0, jnp.int32)))
+
     # Cap on fused steps per device execution. A single XLA execution that
     # runs for many minutes (50 fused 1M-body LCP steps ~ 6 min cold) gets
     # the tunneled TPU worker killed ("TPU worker process crashed");
@@ -656,13 +686,20 @@ class LCPSpheresSim:
         # (the old per-slot Pallas gridding kernels faulted inside the fused
         # nested-while program on v5e; the dense MXU gridding is pure XLA,
         # so the spectral path runs the fused loop like everything else)
-        if not hasattr(self, "_run_jit"):
-            self._run_jit = jax.jit(self._run_n)
+        if not hasattr(self, "_burst_jit"):
+            self._burst_jit = jax.jit(self._burst)
+            self._rebuild_jit = jax.jit(self._rebuild)
         done = 0
         while done < n_steps:
             k = min(self.device_steps_per_call, n_steps - done)
-            state = self._run_jit(state, jnp.asarray(k, jnp.int32))
-            done += k
+            state, d = self._burst_jit(state, jnp.asarray(k, jnp.int32))
+            d = int(d)  # scalar readback = the burst's fence
+            done += d
+            if d < k:
+                # skin fired (possibly at entry): rebuild in its own
+                # program, then re-enter the burst — same trigger, same
+                # ordering as the old fused rebuild-then-step cadence
+                state = self._rebuild_jit(state)
         # resize=False: step at the current capacities (a capacity re-fit
         # eagerly recompiles the fused program, ~40-90 s at 1M — callers
         # timing a steady-state window skip it and resize between windows)
@@ -702,9 +739,10 @@ class LCPSpheresSim:
         if want_k:
             self.rows_k = k_tight
         state = self._rebuild(state)
-        self.__dict__.pop("_run_jit", None)
+        self.__dict__.pop("_burst_jit", None)
         self._step_jit = jax.jit(self._step)
-        self._run_jit = jax.jit(self._run_n)
+        self._burst_jit = jax.jit(self._burst)
+        self._rebuild_jit = jax.jit(self._rebuild)
         return state
 
     def _resize_active(self, state: LCPSpheresState) -> LCPSpheresState:
@@ -744,13 +782,14 @@ class LCPSpheresSim:
         a_cap = self.act_capacity
         gamma = jnp.zeros((a_cap,), self.dtype)
         sel = jnp.full((a_cap,), self.pair_capacity, jnp.int32)
-        self.__dict__.pop("_run_jit", None)
+        self.__dict__.pop("_burst_jit", None)
         self._step_jit = jax.jit(self._step)
         state = state.replace(gamma=gamma, gamma_sel=sel, gamma_full=gfull,
                               prev_cum=jnp.zeros_like(state.prev_cum))
-        self._run_jit = jax.jit(self._run_n)
+        self._burst_jit = jax.jit(self._burst)
+        self._rebuild_jit = jax.jit(self._rebuild)
         # 0-step call: populates the jit cache for the new shapes now
-        state = self._run_jit(state, jnp.asarray(0, jnp.int32))
+        state, _d0 = self._burst_jit(state, jnp.asarray(0, jnp.int32))
         return state
 
     def regrow(self, state: LCPSpheresState) -> LCPSpheresState:
@@ -769,7 +808,7 @@ class LCPSpheresSim:
         self.rows_slack *= 1.5
         c.max_neighbors = grow_int(c.max_neighbors)
         c.cell_capacity = grow_int(c.cell_capacity)
-        self.__dict__.pop("_run_jit", None)
+        self.__dict__.pop("_burst_jit", None)
         self.__dict__.pop("_step_jit", None)
         self._step_jit = jax.jit(self._step)
         nmat, pairs, hmat, seg_starts, dual_full, ovf = self._broad_phase(state.pos)

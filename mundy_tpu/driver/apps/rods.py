@@ -284,12 +284,14 @@ class RodsSim:
         f_pair = -mag[..., None] * res.normal  # push own along -n
         arm = res.point1 - pos[:, None, :]  # contact point on OUR surface
         t_pair = jnp.cross(arm, f_pair)
-        # persist normals only for NEAR-contact slots: a stale far-pair
-        # normal traps the next step's single start in a wrong basin as
-        # the pair approaches; blanked rows re-seed from the center-line
-        # direction inside the kernel
-        near = (res.dist < 0.5 * c.radius) & nmat.mask
-        warm_out = jnp.where(near[..., None], res.normal, 0.0)
+        # persist normals for ALL valid slots (round-4 advisor fix): every
+        # seed then descends from the rebuild-time FULL multistart and is
+        # refreshed each step, so a pair that first reaches contact between
+        # rebuilds tracks its multistart basin continuously instead of
+        # falling back to a single center-line start. (The earlier
+        # near-only blanking existed to avoid FROZEN stale normals; a
+        # per-step refresh removes that staleness at the source.)
+        warm_out = jnp.where(nmat.mask[..., None], res.normal, 0.0)
         return (jnp.sum(f_pair, axis=1), jnp.sum(t_pair, axis=1), warm_out)
 
     def _inner_step(self, state: RodsState) -> RodsState:
@@ -328,13 +330,12 @@ class RodsSim:
                               rebuild_count=state.rebuild_count + 1,
                               overflow=state.overflow | ovf)
         if c.shape == "ellipsoid" and c.ellipsoid_warm_start:
-            # the rows reordered: re-seed every slot from the full
+            # the rows reordered: re-seed EVERY valid slot from the full
             # multistart ONCE per rebuild (cold), so the per-step narrow
             # phase can ride the single warm seed until the next rebuild
             res, _idx = self._ellipsoid_narrow(state.pos, state.quat, nmat)
-            near = (res.dist < 0.5 * c.radius) & nmat.mask
             state = state.replace(
-                warm_n=jnp.where(near[..., None], res.normal, 0.0))
+                warm_n=jnp.where(nmat.mask[..., None], res.normal, 0.0))
         return state
 
     def _run_n(self, state: RodsState, n_steps: int) -> RodsState:
@@ -387,8 +388,7 @@ class RodsSim:
         nmat, ovf = self._build_nmat(pos)
         if c.shape == "ellipsoid" and c.ellipsoid_warm_start:
             res, _i = self._ellipsoid_narrow(pos, quat, nmat)
-            near = (res.dist < 0.5 * c.radius) & nmat.mask
-            warm_n = jnp.where(near[..., None], res.normal, 0.0)
+            warm_n = jnp.where(nmat.mask[..., None], res.normal, 0.0)
         else:
             warm_n = jnp.zeros((1, 1, 3), self.dtype)
         return RodsState(pos=pos, quat=quat, key=ks,
@@ -410,9 +410,8 @@ class RodsSim:
         if c.shape == "ellipsoid" and c.ellipsoid_warm_start:
             # K changed: re-seed the warm slots against the regrown rows
             res, _i = self._ellipsoid_narrow(state.pos, state.quat, nmat)
-            near = (res.dist < 0.5 * c.radius) & nmat.mask
             state = state.replace(
-                warm_n=jnp.where(near[..., None], res.normal, 0.0))
+                warm_n=jnp.where(nmat.mask[..., None], res.normal, 0.0))
         return state
 
     def run(self, state: Optional[RodsState] = None, log=print):

@@ -515,10 +515,11 @@ def distance_ellipsoid_ellipsoid(e1: Ellipsoid, e2: Ellipsoid,
 
     if n0 is not None:
         # temporal warm start: one seed, no multistart sweep. Rows whose
-        # seed is ~zero (callers blank slots that were NOT near contact
-        # last step — a stale far-pair normal traps the single start in a
-        # wrong basin as the pair approaches) fall back to the center-line
-        # direction, the cold path's primary start.
+        # seed is ~zero (masked/padded slots with no stored normal) fall
+        # back to the center-line direction, the cold path's primary
+        # start. Callers refresh seeds EVERY step from the previous
+        # converged normals (rooted in a rebuild-time full multistart),
+        # so live slots never carry stale frozen seeds.
         n0b = jnp.broadcast_to(
             n0, jnp.broadcast_shapes(n0.shape, e1.center.shape))
         cdir = _safe_normal(e2.center - e1.center)

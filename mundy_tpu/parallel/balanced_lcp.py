@@ -352,15 +352,26 @@ def make_balanced_lcp_step(
             pos[None], key[None])
         return dict(zip(names, out))
 
-    def step_block_fn(state, n_steps: int):
+    # jitted step programs memoized per n_steps: rebuilding the
+    # jit(shard_map(...)) wrapper per call re-traces every invocation
+    # (round-4 advisor finding) — the cache makes repeat blocks hit the
+    # compiled executable directly, mirroring lcp_spheres' _burst_jit.
+    _step_cache: dict = {}
+
+    def _make_step(n_steps: int):
         def shard_step(*vals):
             s = [v[0] for v in vals]
             out = local_block(*s, jnp.asarray(n_steps, jnp.int32))
             return tuple(v[None] for v in out)
 
-        f = jax.jit(jax.shard_map(
+        return jax.jit(jax.shard_map(
             shard_step, mesh=mesh, in_specs=(P(axis),) * 15,
             out_specs=(P(axis),) * 15, check_vma=False))
+
+    def step_block_fn(state, n_steps: int):
+        f = _step_cache.get(n_steps)
+        if f is None:
+            f = _step_cache[n_steps] = _make_step(n_steps)
         out = f(*[state[k] for k in names])
         return dict(zip(names, out))
 

@@ -91,10 +91,14 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
             return np.asarray(jax.device_get(a)).reshape((d, nl)
                                                          + a.shape[1:])
 
-        # normalize the contact rows to this engine's query width K: the
+        # normalize the contact rows to this engine's query width K. The
         # single-device periodic search may be on the rows broad phase
-        # (width contact_K + n_excl) — content is irrelevant here because
-        # local_block rebuilds at outer entry before the first step
+        # (width contact_K + n_excl), so rows may be TRUNCATED here —
+        # which is only safe because local_block unconditionally rebuilds
+        # at outer entry before the first step. To keep a future cadence
+        # change from ever consuming truncated rows, the mask is ZEROED
+        # (filaments_shard does the same): stale rows then yield no pairs
+        # (loud parity failure) instead of silently dropped neighbors.
         def fit_k(a, fill):
             w = a.shape[1]
             if w == K:
@@ -105,8 +109,7 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
             return np.concatenate([np.asarray(a), pad], axis=1)
 
         nmat_idx = fit_k(np.asarray(jax.device_get(state.nmat.idx)), N)
-        nmat_mask = fit_k(np.asarray(jax.device_get(state.nmat.mask)),
-                          False)
+        nmat_mask = np.zeros((N, K), bool)  # rebuilt at entry (see above)
         out = {
             "pos": blocks(state.pos, Nl),
             "nmat_idx": nmat_idx.reshape((d, Nl, K)),

@@ -178,17 +178,26 @@ def make_sharded_filaments_step(mesh: Mesh, axis: str, sim):
                                   (s, jnp.asarray(0, jnp.int32)))
         return s
 
-    def step_block_fn(state, n_steps: int):
-        keys = sorted(state.keys())
+    # memoize the jitted shard_map per (n_steps, state-key tuple): a fresh
+    # jit wrapper per call re-traces every invocation (round-4 advisor
+    # finding) — cached, repeat blocks hit the compiled executable.
+    _step_cache: dict = {}
 
+    def _make_step(n_steps: int, keys: tuple):
         def shard_step(*blocks):
             s = {k: b[0] for k, b in zip(keys, blocks)}
             out = local_block(s, jnp.asarray(n_steps, jnp.int32))
             return tuple(out[k][None] for k in keys)
 
-        f = jax.jit(jax.shard_map(
+        return jax.jit(jax.shard_map(
             shard_step, mesh=mesh, in_specs=(P(axis),) * len(keys),
             out_specs=(P(axis),) * len(keys)))
+
+    def step_block_fn(state, n_steps: int):
+        keys = tuple(sorted(state.keys()))
+        f = _step_cache.get((n_steps, keys))
+        if f is None:
+            f = _step_cache[(n_steps, keys)] = _make_step(n_steps, keys)
         out = f(*[state[k] for k in keys])
         return dict(zip(keys, out))
 

@@ -59,6 +59,9 @@ def main(argv=None):
     ap.add_argument("--output-every", type=int, default=0,
                     help="steps between trajectory frames (0 = final only)")
     ap.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="run sharded over N devices (the reference's "
+                         "`mpirun -n N` role); 0/1 = single device")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -76,6 +79,13 @@ def main(argv=None):
 
     config, sim = build_simulation_from_yaml(args.config, overrides)
     print(f"app config: {config}")
+
+    if args.devices and args.devices > 1:
+        from mundy_tpu.driver.sharded import ShardedSim
+
+        sim = ShardedSim(spec["app"], sim, args.devices)
+        print(f"sharded over {args.devices} devices "
+              f"(mesh axis '{sim.axis}')")
 
     if not hasattr(sim, "run_block"):
         raise SystemExit(

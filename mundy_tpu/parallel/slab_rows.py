@@ -154,7 +154,7 @@ def make_slab_rows_spheres_step(
         fz = jnp.sum(w * DZ, axis=-1)
         return jnp.stack([fx, fy, fz], axis=-1)
 
-    def local_block(pos, valid, gid, ref_pos, overflow, key, n_steps):
+    def local_block(pos, valid, gid, ref_pos, overflow, key, step0, n_steps):
         """shard_map body: run n_steps with rebuilds. All arrays local
         (ny, nzl, R, ...)."""
         perm_up = [(i, (i + 1) % d) for i in range(d)]
@@ -234,27 +234,37 @@ def make_slab_rows_spheres_step(
                 inner_step, carry)
             return (carry, ovf)
 
-        carry = (pos, valid, gid, ref_pos, key,
-                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        # step0 persists across blocks so the gid-keyed noise stream is a
+        # pure function of the GLOBAL step index (multi-block CLI runs
+        # match a single fused run)
+        carry = (pos, valid, gid, ref_pos, key, step0,
+                 jnp.asarray(0, jnp.int32))
         (carry, overflow) = jax.lax.while_loop(
             lambda co: co[0][6] < target, outer_body, (carry, overflow))
-        pos, valid, gid, ref_pos, _key, _step, _done = carry
-        return pos, valid, gid, ref_pos, overflow
+        pos, valid, gid, ref_pos, _key, step, _done = carry
+        return pos, valid, gid, ref_pos, overflow, step
 
     step_block = jax.jit(
         jax.shard_map(
             local_block, mesh=mesh,
             in_specs=(P(None, axis), P(None, axis), P(None, axis),
-                      P(None, axis), P(), P(), P()),
+                      P(None, axis), P(), P(), P(), P()),
             out_specs=(P(None, axis), P(None, axis), P(None, axis),
-                       P(None, axis), P()),
+                       P(None, axis), P(), P()),
             check_vma=False,
         )
     )
 
-    def init_fn(key):
+    def init_fn(key, pos=None, step0: int = 0):
+        """`pos` (optional (N, 3)): start from given positions (checkpoint
+        resume / parity with a single-device state) — the key is then used
+        only for the noise stream, split exactly like SpheresSim.init so
+        the same top key yields the same trajectory."""
         kp, ks = jax.random.split(key)
-        pos = jax.random.uniform(kp, (n_total, 3), dtype=dtype, maxval=box_size)
+        if pos is None:
+            pos = jax.random.uniform(kp, (n_total, 3), dtype=dtype,
+                                     maxval=box_size)
+        pos = jnp.asarray(pos, dtype)
         rows = build_rows(pos, jnp.arange(n_total, dtype=jnp.int32), grid)
         sh = NamedSharding(mesh, P(None, axis))
         return {
@@ -264,13 +274,16 @@ def make_slab_rows_spheres_step(
             "ref_pos": jax.device_put(np.asarray(rows.pos), sh),
             "overflow": jnp.asarray(bool(rows.overflow)),
             "key": ks,
+            "step": jnp.asarray(step0, jnp.int32),
         }
 
     def step_block_fn(state, n_steps):
-        pos, valid, gid, ref, ovf = step_block(
+        pos, valid, gid, ref, ovf, step = step_block(
             state["pos"], state["valid"], state["gid"], state["ref_pos"],
-            state["overflow"], state["key"], jnp.asarray(n_steps, jnp.int32))
+            state["overflow"], state["key"],
+            state.get("step", jnp.asarray(0, jnp.int32)),
+            jnp.asarray(n_steps, jnp.int32))
         return {**state, "pos": pos, "valid": valid, "gid": gid,
-                "ref_pos": ref, "overflow": ovf}
+                "ref_pos": ref, "overflow": ovf, "step": step}
 
     return init_fn, step_block_fn, grid

@@ -202,7 +202,8 @@ def make_slab_rods_step(
         return (jnp.stack([fx, fy, fz], axis=-1),
                 jnp.stack([tx, ty, tz], axis=-1))
 
-    def local_block(pos, quat, valid, gid, ref_pos, overflow, key, n_steps):
+    def local_block(pos, quat, valid, gid, ref_pos, overflow, key, step0,
+                    n_steps):
         """shard_map body; all sharded arrays local (ny, nzl, R, ...)."""
         perm_up = [(i, (i + 1) % d) for i in range(d)]
         perm_dn = [(i, (i - 1) % d) for i in range(d)]
@@ -291,27 +292,37 @@ def make_slab_rods_step(
                 inner_step, carry)
             return (carry, ovf)
 
-        carry = (pos, quat, valid, gid, ref_pos, key,
-                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        # step0 persists across blocks: the gid-keyed noise stream is a
+        # pure function of the GLOBAL step index (multi-block CLI runs
+        # match a single fused run)
+        carry = (pos, quat, valid, gid, ref_pos, key, step0,
+                 jnp.asarray(0, jnp.int32))
         (carry, overflow) = jax.lax.while_loop(
             lambda co: co[0][7] < target, outer_body, (carry, overflow))
-        pos, quat, valid, gid, ref_pos, _key, _step, _done = carry
-        return pos, quat, valid, gid, ref_pos, overflow
+        pos, quat, valid, gid, ref_pos, _key, step, _done = carry
+        return pos, quat, valid, gid, ref_pos, overflow, step
 
     step_block = jax.jit(
         jax.shard_map(
             local_block, mesh=mesh,
-            in_specs=(P(None, axis),) * 5 + (P(), P(), P()),
-            out_specs=(P(None, axis),) * 5 + (P(),),
+            in_specs=(P(None, axis),) * 5 + (P(), P(), P(), P()),
+            out_specs=(P(None, axis),) * 5 + (P(), P()),
             check_vma=False,
         )
     )
 
-    def init_fn(key):
+    def init_fn(key, pos=None, quat=None, step0: int = 0):
+        """`pos`/`quat` (optional): start from given state (checkpoint
+        resume / parity with RowRodsSim); key splits mirror RowRodsSim.init
+        either way, so the same top key yields the same noise stream."""
         kp, kq, ks = jax.random.split(key, 3)
-        pos = jax.random.uniform(kp, (n_total, 3), dtype=dtype,
-                                 maxval=box_size)
-        quat = random_unit_quaternions(kq, n_total, dtype=dtype)
+        if pos is None:
+            pos = jax.random.uniform(kp, (n_total, 3), dtype=dtype,
+                                     maxval=box_size)
+        if quat is None:
+            quat = random_unit_quaternions(kq, n_total, dtype=dtype)
+        pos = jnp.asarray(pos, dtype)
+        quat = jnp.asarray(quat, dtype)
         rows = build_rows(pos, jnp.arange(n_total, dtype=jnp.int32), grid)
         safe = jnp.minimum(rows.gid, n_total - 1)
         qrows = jnp.where(rows.valid[..., None], quat[safe],
@@ -325,14 +336,16 @@ def make_slab_rods_step(
             "ref_pos": jax.device_put(np.asarray(rows.pos), sh),
             "overflow": jnp.asarray(bool(rows.overflow)),
             "key": ks,
+            "step": jnp.asarray(step0, jnp.int32),
         }
 
     def step_block_fn(state, n_steps):
-        pos, quat, valid, gid, ref, ovf = step_block(
+        pos, quat, valid, gid, ref, ovf, step = step_block(
             state["pos"], state["quat"], state["valid"], state["gid"],
             state["ref_pos"], state["overflow"], state["key"],
+            state.get("step", jnp.asarray(0, jnp.int32)),
             jnp.asarray(n_steps, jnp.int32))
         return {**state, "pos": pos, "quat": quat, "valid": valid,
-                "gid": gid, "ref_pos": ref, "overflow": ovf}
+                "gid": gid, "ref_pos": ref, "overflow": ovf, "step": step}
 
     return init_fn, step_block_fn, grid

@@ -46,16 +46,34 @@ from mundy_tpu.neighbor import (build_cell_list, neighbor_matrix_query)
 def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
     """Build (shard_fn, step_block_fn, gather_fn) for a ChromatinSim.
 
-    Requirements: hydro in ("none", "rpy_spectral") — with "rpy_spectral"
-    the spectral-Ewald Stokes mobility runs INSIDE the same shard_map
-    program (per-shard gridding + one psum'd grid + slab-evaluated real
-    space, parallel/spectral_shard.make_se_local_apply), so config #5's
-    contact + FENE + KMC + hydro execute as ONE distributed step — the
-    reference runs the whole HP1 loop under one MPI world
-    (`HP1...neigh_linker.cpp:1377-1524`). Also num_chains % d == 0,
-    X % d == 0 (0 ok), non-periodic or periodic both supported (the
-    single-device contact search must be on the cell-list path for
-    bit-matching rows — confined configs always are).
+    Requirements: hydro in ("none", "rpy_spectral", "rpy_periphery").
+    With "rpy_spectral" the spectral-Ewald Stokes mobility runs INSIDE the
+    same shard_map program (per-shard gridding + one psum'd grid +
+    slab-evaluated real space, parallel/spectral_shard.make_se_local_apply),
+    so config #5's contact + FENE + KMC + hydro execute as ONE distributed
+    step — the reference runs the whole HP1 loop under one MPI world
+    (`HP1...neigh_linker.cpp:1377-1524`).
+
+    With "rpy_periphery" (the confined HP1 PRODUCTION config,
+    examples/hp1_chromatin.yaml) the full dense-RPY + no-slip BIE pipeline
+    distributes — the reference's DistributedPeriphery role
+    (`Periphery.hpp` FastDirectPeriphery :1155, compute_surface_forces
+    :1409, evaluated under the MPI world):
+      - dense RPY drift: each shard evaluates its OWN target-row block
+        against all sources (one (N, 3) force all-gather; the N x N/d
+        block is MXU work);
+      - ambient flow at the surface quadrature: per-shard partial sums
+        over OWN beads, ONE psum;
+      - surface densities q = -M^{-1} u|surf: the dense (3Q, 3Q) inverse
+        is SHARDED over quadrature row blocks (each shard holds and
+        applies only its (3Q/d, 3Q) slab, carried as a sharded state
+        entry), one all-gather of the q blocks;
+      - the double-layer correction back at the beads is shard-local
+        (own targets).
+
+    Also num_chains % d == 0, X % d == 0 (0 ok), non-periodic or periodic
+    both supported (the single-device contact search must be on the
+    cell-list path for bit-matching rows — confined configs always are).
 
     Parity: with hydro == "none" trajectories match the single-device app
     bit-identically (zero crosslinkers) or to summation-order rounding;
@@ -64,8 +82,8 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
     """
     c = sim.config
     d = mesh.shape[axis]
-    assert c.hydro in ("none", "rpy_spectral"), \
-        "sharded step covers the dry pipeline and spectral hydro"
+    assert c.hydro in ("none", "rpy_spectral", "rpy_periphery"), \
+        "sharded step covers the dry, spectral, and confined-BIE pipelines"
     assert c.num_chains % d == 0, "shards own whole chains"
     N, X = sim.N, sim.X
     assert X % d == 0
@@ -84,6 +102,61 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
         se_apply = make_se_local_apply(
             axis, d, sim.spectral, sim.se_geom, sim.hydro_cells_grid,
             N, (c.box_size,) * 3)
+
+    periph_rb = 0
+    if c.hydro == "rpy_periphery":
+        assert N % d == 0, "dense RPY shards flat bead blocks"
+        _Q3 = 3 * int(sim.periphery.points.shape[0])
+        periph_rb = -(-_Q3 // d)  # quadrature GEMV rows per shard
+
+    def _periph_minv_blocks():
+        """(d, rb, 3Q) row slabs of M^{-1} — each shard carries only its
+        own slab (the DistributedPeriphery surface split)."""
+        m = np.asarray(jax.device_get(sim.periphery.m_inv))
+        q3 = m.shape[0]
+        pad = d * periph_rb - q3
+        mp = np.concatenate([m, np.zeros((pad, q3), m.dtype)], axis=0)
+        return mp.reshape(d, periph_rb, q3)
+
+    def _periph_apply(shard_id, pos_own, pos_rep, f_own, f_all, minv_blk):
+        """Distributed rpy_periphery mobility: dense-RPY own-row block +
+        psum'd surface slip + row-sharded M^{-1} GEMV + local double-layer
+        correction. Matches ChromatinSim._inner_step's rpy_periphery branch
+        to summation-order rounding."""
+        from mundy_tpu.mobility.periphery import double_layer_flow
+        from mundy_tpu.mobility.rpy import (_rpy_pair_velocity,
+                                            rpy_flow_at, rpy_self_mobility)
+        a = jnp.asarray(c.bead_radius, dtype)
+        chunk = min(1024, Nl)
+        n_pad = ((Nl + chunk - 1) // chunk) * chunk
+        pos_p = jnp.concatenate(
+            [pos_own, jnp.zeros((n_pad - Nl, 3), dtype)], axis=0)
+        gid0 = shard_id * Nl
+
+        def one_chunk(start):
+            tgt = jax.lax.dynamic_slice_in_dim(pos_p, start, chunk, axis=0)
+            rvec = tgt[:, None, :] - pos_rep[None, :, :]
+            u = _rpy_pair_velocity(rvec, f_all[None, :, :], a, c.viscosity,
+                                   overlap_correction=True)
+            me = gid0 + start + jnp.arange(chunk)
+            same = me[:, None] == jnp.arange(N)[None, :]
+            return jnp.sum(jnp.where(same[..., None], 0.0, u), axis=1)
+
+        starts = jnp.arange(0, n_pad, chunk)
+        vel = jax.lax.map(one_chunk, starts).reshape(n_pad, 3)[:Nl]
+        vel = vel + rpy_self_mobility(f_own, a, c.viscosity)
+        # ambient slip at the quadrature nodes: own-bead partials, one psum
+        u_surf = jax.lax.psum(
+            rpy_flow_at(sim.periphery.points, pos_own, f_own, a,
+                        c.viscosity), axis)
+        # sharded GEMV: this shard's row slab of q = -M^{-1} u|surf
+        # (HIGHEST precision — the bf16 MXU default corrupts the no-slip
+        # balance, mobility/periphery.surface_densities)
+        q_blk = -jnp.dot(minv_blk, u_surf.reshape(-1),
+                         precision=jax.lax.Precision.HIGHEST)
+        q3 = 3 * sim.periphery.points.shape[0]
+        q = jax.lax.all_gather(q_blk, axis, tiled=True)[:q3].reshape(-1, 3)
+        return vel + double_layer_flow(sim.periphery, q, pos_own)
 
     def shard_fn(state):
         """Full ChromatinState -> dict of (d, ...) sharded blocks."""
@@ -131,6 +204,9 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
                 "kmc_idx": blocks(state.kmc_nmat.idx, Xl),
                 "kmc_mask": blocks(state.kmc_nmat.mask, Xl),
             })
+        if periph_rb:
+            # each shard carries only its (rb, 3Q) slab of M^{-1}
+            out["periph_minv"] = _periph_minv_blocks().astype(dtype)
         sharded = NamedSharding(mesh, P(axis))
         return {k: jax.device_put(jnp.asarray(v), sharded)
                 for k, v in out.items()}
@@ -238,6 +314,11 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
                 vel, se_ovf = se_apply(st["pos"], f, pos_all=pos_rep,
                                        f_all=f_all)
                 st = {**st, "overflow": st["overflow"] | se_ovf}
+            elif periph_rb:
+                # confined HP1 pipeline: dense RPY + distributed BIE
+                f_all = jax.lax.all_gather(f, axis, tiled=True)
+                vel = _periph_apply(shard_id, st["pos"], pos_rep, f,
+                                    f_all, st["periph_minv"])
             else:
                 vel = inv_drag * f
             if c.diffusion_coeff > 0:
@@ -299,17 +380,26 @@ def make_sharded_chromatin_step(mesh: Mesh, axis: str, sim):
                                   (s, jnp.asarray(0, jnp.int32)))
         return s
 
-    def step_block_fn(state, n_steps: int):
-        keys = sorted(state.keys())
+    # memoize the jitted shard_map per (n_steps, key tuple): a fresh jit
+    # wrapper per call re-traces every invocation (round-4 advisor finding
+    # on the sibling engines)
+    _step_cache: dict = {}
 
+    def _make_step(n_steps: int, keys: tuple):
         def shard_step(*blocks):
             s = {k: b[0] for k, b in zip(keys, blocks)}
             out = local_block(s, jnp.asarray(n_steps, jnp.int32))
             return tuple(out[k][None] for k in keys)
 
-        f = jax.jit(jax.shard_map(
+        return jax.jit(jax.shard_map(
             shard_step, mesh=mesh, in_specs=(P(axis),) * len(keys),
             out_specs=(P(axis),) * len(keys)))
+
+    def step_block_fn(state, n_steps: int):
+        keys = tuple(sorted(state.keys()))
+        f = _step_cache.get((n_steps, keys))
+        if f is None:
+            f = _step_cache[(n_steps, keys)] = _make_step(n_steps, keys)
         out = f(*[state[k] for k in keys])
         return dict(zip(keys, out))
 

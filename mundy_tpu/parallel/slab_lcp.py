@@ -1,4 +1,13 @@
-"""Sharded LCP-constrained spheres: the z-slab row engine + distributed BBPGD.
+"""Sharded LCP spheres on VOLUME-allocated dense rows (SUPERSEDED).
+
+The production sharded LCP engine is `parallel/balanced_lcp.py` — its
+COUNT-allocated compact slabs follow clustered density (the reference
+re-balances the one production mesh mid-run, `stk::balance::balanceStkMesh`,
+`HP1...neigh_linker.cpp:820,1358`), it is what the CLI's `--devices` routes
+`lcp_spheres` onto, and it is what `__graft_entry__.dryrun_multichip` gates.
+This volume-allocated row-layout variant is retained as the validated
+bit-parity reference for the dense-row pair-extraction machinery
+(tests/test_parallel_lcp.py) and is NOT a second production path.
 
 The multi-chip re-design of the reference's lcp_spheres driver
 (`scrap/lcp_spheres/StkNgpLCP.cpp:705-875` — its device-global BBPGD loop

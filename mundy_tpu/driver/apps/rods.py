@@ -73,12 +73,26 @@ class RodsConfig:
     # per-pair cost (benchmarks/ellipsoid_bench.py).
     ellipsoid_warm_start: bool = True
     ellipsoid_warm_pgd_iters: int = 6
+    # frictional segment-segment contact (the CollidingFrictionalSperm
+    # capability, `SpherocylinderSegmentSpherocylinderSegment
+    # FrictionalHertzianContact.cpp:440-520`): tangential spring on the
+    # accumulated contact-point slip, Coulomb-capped; slip velocity from
+    # the LAGGED body velocities (explicit closure for overdamped
+    # dynamics). History lives in the neighbor-row slots and is remapped
+    # by pair identity across rebuilds.
+    friction: bool = False
+    friction_coeff: float = 0.5
+    tang_spring: float = 100.0
+    tang_damping: float = 0.0
 
     def __validate__(self):
         assert self.length >= 0 and self.radius > 0
         assert self.box_size > 2 * (self.length + 2 * self.radius + self.skin)
         assert self.engine in ("auto", "rows", "nmat")
         assert self.shape in ("spherocylinder", "ellipsoid")
+        if self.friction:
+            assert self.shape == "spherocylinder", \
+                "friction runs on the segment narrow phase"
 
 
 @pytree_dataclass
@@ -94,6 +108,12 @@ class RodsState:
     # (N, K, 3) per-pair-slot shared normals (ellipsoid warm start; a
     # (1, 1, 3) placeholder for spherocylinder runs)
     warm_n: Array = None
+    # frictional-contact state (config.friction; (1, 1, 3)/(1, 3)
+    # placeholders otherwise): per-slot tangential history + the lagged
+    # body velocities the slip rate is evaluated from
+    tang: Array = None
+    prev_vel: Array = None
+    prev_omega: Array = None
 
 
 class RodsSim:
@@ -297,12 +317,25 @@ class RodsSim:
     def _inner_step(self, state: RodsState) -> RodsState:
         c = self.config
         warm_out = None
+        tang_out = None
         if c.shape == "ellipsoid":
             seed = state.warm_n if c.ellipsoid_warm_start else None
             force, torque, nrm = self._contact_forces_torques_ellipsoid(
                 state.pos, state.quat, state.nmat, warm_n=seed)
             if c.ellipsoid_warm_start:
                 warm_out = nrm
+        elif c.friction:
+            from mundy_tpu.forces.friction import (
+                frictional_segment_contact_rows)
+            hedge = (0.5 * c.length) * self._axes(state.quat)
+            res = frictional_segment_contact_rows(
+                state.pos, hedge, state.prev_vel, state.prev_omega,
+                state.nmat.idx, state.nmat.mask, state.tang,
+                jnp.asarray(c.dt, self.dtype), c.radius,
+                c.youngs_modulus, c.poissons_ratio, c.tang_spring,
+                c.friction_coeff, tang_damping=c.tang_damping,
+                metric=self.metric)
+            force, torque, tang_out = res.forces, res.torques, res.tang_disp
         else:
             force, torque = self._contact_forces_torques(
                 state.pos, state.quat, state.nmat)
@@ -321,11 +354,21 @@ class RodsSim:
         out = state.replace(pos=pos, quat=quat, step=state.step + 1)
         if warm_out is not None:
             out = out.replace(warm_n=warm_out)
+        if tang_out is not None:
+            # lag the TOTAL velocities (contact + noise): the next step's
+            # slip rate sees the motion that actually happened
+            out = out.replace(tang=tang_out, prev_vel=vel, prev_omega=omega)
         return out
 
     def _rebuild(self, state: RodsState) -> RodsState:
         c = self.config
         nmat, ovf = self._build_nmat(state.pos)
+        if c.friction:
+            # tangential history follows its contact by pair identity
+            from mundy_tpu.forces.friction import remap_row_history
+            state = state.replace(tang=remap_row_history(
+                state.nmat.idx, state.nmat.mask, state.tang,
+                nmat.idx, nmat.mask))
         state = state.replace(nmat=nmat, ref_pos=state.pos,
                               rebuild_count=state.rebuild_count + 1,
                               overflow=state.overflow | ovf)
@@ -391,10 +434,17 @@ class RodsSim:
             warm_n = jnp.where(nmat.mask[..., None], res.normal, 0.0)
         else:
             warm_n = jnp.zeros((1, 1, 3), self.dtype)
+        if c.friction:
+            tang = jnp.zeros(nmat.idx.shape + (3,), self.dtype)
+            pvel = jnp.zeros((c.num_rods, 3), self.dtype)
+        else:
+            tang = jnp.zeros((1, 1, 3), self.dtype)
+            pvel = jnp.zeros((1, 3), self.dtype)
         return RodsState(pos=pos, quat=quat, key=ks,
                          step=jnp.asarray(0, jnp.int32), nmat=nmat, ref_pos=pos,
                          rebuild_count=jnp.asarray(1, jnp.int32), overflow=ovf,
-                         warm_n=warm_n)
+                         warm_n=warm_n, tang=tang, prev_vel=pvel,
+                         prev_omega=jnp.zeros_like(pvel))
 
     def regrow(self, state: RodsState) -> RodsState:
         """Grow the neighbor capacities and rebuild (driver/regrow.py)."""
@@ -406,6 +456,11 @@ class RodsSim:
         self.rows_slack *= 1.5  # row-slot overflow must also grow R
         self.__dict__.pop("_run_jit", None)
         nmat, ovf = self._build_nmat(state.pos)
+        if c.friction:
+            from mundy_tpu.forces.friction import remap_row_history
+            state = state.replace(tang=remap_row_history(
+                state.nmat.idx, state.nmat.mask, state.tang,
+                nmat.idx, nmat.mask))
         state = state.replace(nmat=nmat, ref_pos=state.pos, overflow=ovf)
         if c.shape == "ellipsoid" and c.ellipsoid_warm_start:
             # K changed: re-seed the warm slots against the regrown rows

@@ -34,9 +34,11 @@ def _registry():
         """Engine selection for config #3: the gather-free row narrow phase
         (rods_rows.RowRodsSim) when the box admits it, else the (N, K)
         neighbor-matrix engine."""
-        if config.engine == "nmat" or config.shape == "ellipsoid":
-            # the ellipsoid narrow phase runs per (i, k) candidate pair on
-            # the neighbor matrix; the row stencil is segment-specific
+        if (config.engine == "nmat" or config.shape == "ellipsoid"
+                or config.friction):
+            # the ellipsoid narrow phase and the frictional-history kernel
+            # run per (i, k) slot on the neighbor matrix; the row stencil
+            # is segment-specific and carries no per-slot state
             return RodsSim(config)
         cutoff = config.length + 2 * config.radius + config.skin
         feasible = int(config.box_size // cutoff) >= 5

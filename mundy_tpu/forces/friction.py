@@ -123,3 +123,123 @@ def frictional_hertzian_contact(
         forces=forces, torques=torques, tang_disp=xi,
         normal_force_mag=jnp.where(in_contact, jnp.linalg.norm(f_n, axis=-1), 0.0),
     )
+
+
+class SegmentFrictionResult(NamedTuple):
+    forces: Array  # (N, 3) per body
+    torques: Array  # (N, 3) per body
+    tang_disp: Array  # (N, K, 3) updated per-slot history
+    normal_mag: Array  # (N, K) Hertzian normal magnitudes (diagnostics)
+
+
+def frictional_segment_contact_rows(
+    pos: Array,  # (N, 3) segment midpoints
+    hedge: Array,  # (N, 3) half-edge vectors (axis * length/2)
+    vel: Array,  # (N, 3) body translational velocities (lagged one step)
+    omega: Array,  # (N, 3) body angular velocities (lagged one step)
+    nmat_idx: Array,  # (N, K) neighbor rows
+    nmat_mask: Array,  # (N, K)
+    tang_disp: Array,  # (N, K, 3) tangential history per slot
+    dt,
+    radius: float,
+    youngs: float,
+    poisson: float,
+    tang_spring: float,
+    friction_coeff: float,
+    tang_damping: float = 0.0,
+    metric: Optional[Metric] = None,
+) -> SegmentFrictionResult:
+    """Frictional Hertzian contact between spherocylinder SEGMENTS.
+
+    The reference's spherocylinder-segment frictional kernel
+    (`SpherocylinderSegmentSpherocylinderSegmentFrictionalHertzianContact
+    .cpp:440-520`, the CollidingFrictionalSperm capability): narrow phase =
+    clamped segment-segment closest points (geom/distance.
+    segment_closest_planes), Hertz normal force, tangential spring on the
+    accumulated contact-point slip with the LAMMPS hertz/history Coulomb
+    cap and history rescale. Relative slip velocity is evaluated at the
+    CONTACT POINTS from the (lagged) rigid-body velocities v + w x r — the
+    standard explicit friction closure for overdamped Stokesian dynamics,
+    where current-step velocities are only known after the mobility solve.
+
+    Each contact appears on BOTH bodies' rows with mirrored normals, so the
+    two history copies evolve as exact negatives and action-reaction holds
+    from symmetric one-sided accumulation (same scheme as the rods contact
+    path and the sharded granular engine).
+    """
+    n = pos.shape[0]
+    idx = jnp.minimum(nmat_idx, n - 1)
+    payload = jnp.concatenate([pos, hedge, vel, omega], axis=1)  # (N, 12)
+    cand = payload[idx]  # (N, K, 12) — one gather
+    cmid, chedge = cand[..., 0:3], cand[..., 3:6]
+    cvel, comega = cand[..., 6:9], cand[..., 9:12]
+
+    if metric is None:
+        S = cmid - pos[:, None, :]
+    else:
+        S = metric.sep(pos[:, None, :], cmid)
+
+    from mundy_tpu.forces.contact import (effective_youngs,
+                                          hertzian_pair_force)
+    from mundy_tpu.geom.distance import segment_closest_planes
+
+    s, t, DX, DY, DZ, d2 = segment_closest_planes(
+        S[..., 0], S[..., 1], S[..., 2],
+        hedge[:, None, 0], hedge[:, None, 1], hedge[:, None, 2],
+        chedge[..., 0], chedge[..., 1], chedge[..., 2])
+    d2c = jnp.maximum(d2, _EPS)
+    rinv = jax.lax.rsqrt(d2c)
+    dist = d2c * rinv
+    nhat = jnp.stack([DX, DY, DZ], axis=-1) * rinv[..., None]  # own -> cand
+    sep0 = dist - 2.0 * radius
+    in_contact = nmat_mask & (sep0 < 0.0)
+
+    e_eff = effective_youngs(youngs, youngs, poisson, poisson)
+    fn_mag = hertzian_pair_force(sep0, jnp.asarray(0.5 * radius, pos.dtype),
+                                 jnp.asarray(e_eff, pos.dtype))
+
+    # contact arms from each body's center (closest point + radius * n)
+    arm_i = (2.0 * s - 1.0)[..., None] * hedge[:, None, :] + radius * nhat
+    arm_j = (2.0 * t - 1.0)[..., None] * chedge - radius * nhat
+    v_i = vel[:, None, :] + jnp.cross(omega[:, None, :], arm_i)
+    v_j = cvel + jnp.cross(comega, arm_j)
+    rel = v_j - v_i
+    rel_n = jnp.sum(rel * nhat, axis=-1)[..., None] * nhat
+    rel_t = rel - rel_n
+
+    xi = tang_disp + rel_t * dt
+    xi = xi - jnp.sum(xi * nhat, axis=-1)[..., None] * nhat
+    xi = jnp.where(in_contact[..., None], xi, 0.0)
+
+    # hertz/history scaling: tangential stiffness grows with the contact
+    # patch, sqrt(R* delta) (ref `:470-497`)
+    hertz_poly = jnp.sqrt(jnp.maximum(-0.5 * radius * sep0, 0.0))
+    f_t = hertz_poly[..., None] * (tang_spring * xi + tang_damping * rel_t)
+    ft_mag = jnp.linalg.norm(f_t, axis=-1)
+    cap = friction_coeff * fn_mag
+    over = ft_mag > cap
+    scale = cap / jnp.maximum(ft_mag, _EPS)
+    damp = tang_damping * rel_t / jnp.maximum(tang_spring, _EPS)
+    xi = jnp.where(over[..., None], scale[..., None] * (xi + damp) - damp,
+                   xi)
+    f_t = jnp.where(over[..., None], f_t * scale[..., None], f_t)
+
+    f_pair = jnp.where(in_contact[..., None],
+                       -fn_mag[..., None] * nhat + f_t, 0.0)
+    forces = jnp.sum(f_pair, axis=1)
+    torques = jnp.sum(jnp.cross(arm_i, f_pair), axis=1)
+    return SegmentFrictionResult(
+        forces=forces, torques=torques, tang_disp=xi,
+        normal_mag=jnp.where(in_contact, fn_mag, 0.0))
+
+
+def remap_row_history(old_idx: Array, old_mask: Array, old_vals: Array,
+                      new_idx: Array, new_mask: Array) -> Array:
+    """Carry (N, K, ...) per-slot history across a neighbor rebuild BY PAIR
+    IDENTITY: new slot (i, q) inherits old slot (i, p) where the neighbor
+    ids match (K x K probe per row — the row-layout form of
+    constraints.remap_gamma; ref: persistent linker entities)."""
+    hit = ((old_idx[:, None, :] == new_idx[:, :, None])
+           & old_mask[:, None, :] & new_mask[:, :, None])
+    return jnp.einsum("npq,nq...->np...", hit.astype(old_vals.dtype),
+                      old_vals)

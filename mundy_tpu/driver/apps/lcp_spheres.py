@@ -619,27 +619,30 @@ class LCPSpheresSim:
             disp = self.metric.sep(s.ref_pos, s.pos)
             return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
 
+        # skin trigger computed in the BODY, carried as a flag the conds
+        # read (a while cond can't fuse with the body; see _burst)
         def inner_cond(carry):
-            s, done = carry
-            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+            s, done, fired = carry
+            return jnp.logical_and(done < target, jnp.logical_not(fired))
 
         def inner_body(carry):
-            s, done = carry
-            return self._inner_step(s), done + 1
+            s, done, _ = carry
+            s = self._inner_step(s)
+            return s, done + 1, moved(s)
 
         def outer_body(carry):
-            s, done = carry
+            s, done, fired = carry
             # rebuild only when the skin trigger fired (run_block re-enters
             # this program every device_steps_per_call steps; an
             # unconditional entry rebuild would pay the broad phase per
             # chunk instead of per skin violation)
-            s = jax.lax.cond(moved(s), self._rebuild, lambda x: x, s)
-            s, done = inner_body((s, done))
-            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+            s = jax.lax.cond(fired, self._rebuild, lambda x: x, s)
+            carry = inner_body((s, done, jnp.asarray(False)))
+            return jax.lax.while_loop(inner_cond, inner_body, carry)
 
-        state, _ = jax.lax.while_loop(
+        state, _, _ = jax.lax.while_loop(
             lambda carry: carry[1] < target, outer_body,
-            (state, jnp.asarray(0, jnp.int32)),
+            (state, jnp.asarray(0, jnp.int32), moved(state)),
         )
         return state
 
@@ -653,7 +656,14 @@ class LCPSpheresSim:
         129.8 ms for the bare inner step — the cond's untaken branch drags
         the full pair-list state through every loop iteration). Host-driven
         cadence pays ~26 ms RTT per burst/rebuild call instead: ~8 ms/step
-        at the steady rebuild period."""
+        at the steady rebuild period.
+
+        The skin trigger is computed IN THE BODY and carried as a flag the
+        cond merely reads. Putting moved() in the cond costs +37 ms/step at
+        1M (ablate_burst.py: 163.2 vs 126.4) — a while cond is a separate
+        XLA computation that cannot fuse with the body, so it re-streams
+        pos/ref_pos per iteration; the same reduction in the body fuses
+        into the step for free (126.8)."""
         target = jnp.asarray(n_steps, jnp.int32)
         skin_sq = jnp.asarray((0.5 * self.config.constraint_buffer) ** 2,
                               self.dtype)
@@ -663,15 +673,17 @@ class LCPSpheresSim:
             return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
 
         def cond(carry):
-            s, done = carry
-            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+            s, done, fired = carry
+            return jnp.logical_and(done < target, jnp.logical_not(fired))
 
         def body(carry):
-            s, done = carry
-            return self._inner_step(s), done + 1
+            s, done, _ = carry
+            s = self._inner_step(s)
+            return s, done + 1, moved(s)
 
-        return jax.lax.while_loop(cond, body,
-                                  (state, jnp.asarray(0, jnp.int32)))
+        s, done, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32), moved(state)))
+        return s, done
 
     # Cap on fused steps per device execution. A single XLA execution that
     # runs for many minutes (50 fused 1M-body LCP steps ~ 6 min cold) gets

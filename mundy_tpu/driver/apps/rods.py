@@ -390,23 +390,26 @@ class RodsSim:
             disp = self.metric.sep(s.ref_pos, s.pos)
             return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
 
+        # skin trigger computed in the BODY, carried as a flag the cond
+        # reads (a while cond can't fuse with the body; ablate_burst.py)
         def inner_cond(carry):
-            s, done = carry
-            return jnp.logical_and(done < target, jnp.logical_not(moved(s)))
+            s, done, fired = carry
+            return jnp.logical_and(done < target, jnp.logical_not(fired))
 
         def inner_body(carry):
-            s, done = carry
-            return self._inner_step(s), done + 1
+            s, done, _ = carry
+            s = self._inner_step(s)
+            return s, done + 1, moved(s)
 
         def outer_body(carry):
-            s, done = carry
+            s, done, _ = carry
             s = self._rebuild(s)
-            s, done = inner_body((s, done))
-            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+            carry = inner_body((s, done, jnp.asarray(False)))
+            return jax.lax.while_loop(inner_cond, inner_body, carry)
 
-        state, _ = jax.lax.while_loop(
+        state, _, _ = jax.lax.while_loop(
             lambda carry: carry[1] < target, outer_body,
-            (state, jnp.asarray(0, jnp.int32)),
+            (state, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
         )
         return state
 

@@ -219,28 +219,36 @@ class SpheresSim:
             disp = self.metric.sep(s.ref_pos, s.pos)
             return jnp.max(jnp.sum(disp * disp, axis=-1)) > skin_sq
 
+        # The skin trigger is computed IN THE BODY and carried as a flag
+        # the cond merely reads: a while cond is a separate XLA computation
+        # that cannot fuse with the body, so moved() in the cond re-streams
+        # pos/ref_pos per iteration (+37 ms/step at 1M LCP,
+        # benchmarks/ablate_burst.py); the same reduction in the body fuses
+        # into the step for free.
         def inner_cond(carry):
-            s, done = carry
-            return jnp.logical_and(done < target, jnp.logical_not(moved_beyond_skin(s)))
+            s, done, fired = carry
+            return jnp.logical_and(done < target, jnp.logical_not(fired))
 
         def inner_body(carry):
-            s, done = carry
-            return self._inner_step(s), done + 1
+            s, done, _ = carry
+            s = self._inner_step(s)
+            return s, done + 1, moved_beyond_skin(s)
 
         def outer_cond(carry):
-            _s, done = carry
+            _s, done, _f = carry
             return done < target
 
         def outer_body(carry):
-            s, done = carry
+            s, done, _ = carry
             s = self._rebuild(s)
             # do-while: always take at least one step per rebuild so the
             # loop progresses even if a single step breaks the skin
-            s, done = inner_body((s, done))
-            return jax.lax.while_loop(inner_cond, inner_body, (s, done))
+            carry = inner_body((s, done, jnp.asarray(False)))
+            return jax.lax.while_loop(inner_cond, inner_body, carry)
 
-        state, _ = jax.lax.while_loop(
-            outer_cond, outer_body, (state, jnp.asarray(0, jnp.int32))
+        state, _, _ = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (state, jnp.asarray(0, jnp.int32), jnp.asarray(False))
         )
         return state
 

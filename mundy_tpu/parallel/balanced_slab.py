@@ -278,10 +278,20 @@ def make_balanced_settling_step(
         def outer_body(carry):
             carry = jax.lax.cond(moved(carry), rebuild, lambda c: c, carry)
             carry = inner_step(carry)
-            return jax.lax.while_loop(
-                lambda c: jnp.logical_and(c[-1] < n_steps,
-                                          jnp.logical_not(moved(c))),
-                inner_step, carry)
+
+            # skin trigger computed in the BODY, carried as a flag the
+            # cond reads (a while cond can't fuse with the body and runs
+            # its pmax as a separate program; ablate_burst.py)
+            def inner_step_flag(cf):
+                c, _ = cf
+                c = inner_step(c)
+                return (c, moved(c))
+
+            carry, _ = jax.lax.while_loop(
+                lambda cf: jnp.logical_and(cf[0][-1] < n_steps,
+                                           jnp.logical_not(cf[1])),
+                inner_step_flag, (carry, moved(carry)))
+            return carry
 
         carry = (pos_own, valid_own, gid_own, ghost_pos, ghost_from_prev,
                  ghost_slot, ghost_valid, ref_pos,

@@ -338,10 +338,20 @@ def make_granular_slab_step(
             # does the same (cadence parity)
             carry = rebuild(carry)
             carry = inner_step(carry)
-            return jax.lax.while_loop(
-                lambda cr: jnp.logical_and(cr[1] < n_steps,
-                                           jnp.logical_not(moved(cr))),
-                inner_step, carry)
+
+            # skin trigger computed in the BODY, carried as a flag the
+            # cond reads (a while cond can't fuse with the body and runs
+            # its pmax as a separate program; ablate_burst.py)
+            def inner_step_flag(cf):
+                cr, _ = cf
+                cr = inner_step(cr)
+                return (cr, moved(cr))
+
+            carry, _ = jax.lax.while_loop(
+                lambda cf: jnp.logical_and(cf[0][1] < n_steps,
+                                           jnp.logical_not(cf[1])),
+                inner_step_flag, (carry, moved(carry)))
+            return carry
 
         st, _ = jax.lax.while_loop(lambda cr: cr[1] < n_steps, outer_body,
                                    (st, jnp.asarray(0, jnp.int32)))

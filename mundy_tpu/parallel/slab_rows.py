@@ -229,9 +229,20 @@ def make_slab_rows_spheres_step(
             carry, ovf = carry_ovf
             carry, ovf = rebuild(carry, ovf)
             carry = inner_step(carry)
-            carry = jax.lax.while_loop(
-                lambda c: jnp.logical_and(c[6] < target, jnp.logical_not(moved(c))),
-                inner_step, carry)
+            # skin trigger computed in the BODY, carried as a flag the cond
+            # reads: a while cond can't fuse with the body, so moved() in
+            # the cond re-streams positions AND runs its pmax collective as
+            # a separate program per iteration (ablate_burst.py: +37
+            # ms/step at 1M single-chip)
+            def inner_step_flag(cf):
+                c, _ = cf
+                c = inner_step(c)
+                return (c, moved(c))
+
+            carry, _ = jax.lax.while_loop(
+                lambda cf: jnp.logical_and(cf[0][6] < target,
+                                           jnp.logical_not(cf[1])),
+                inner_step_flag, (carry, moved(carry)))
             return (carry, ovf)
 
         # step0 persists across blocks so the gid-keyed noise stream is a

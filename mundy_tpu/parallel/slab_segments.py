@@ -286,10 +286,19 @@ def make_slab_rods_step(
             carry, ovf = carry_ovf
             carry, ovf = rebuild(carry, ovf)
             carry = inner_step(carry)
-            carry = jax.lax.while_loop(
-                lambda c: jnp.logical_and(c[7] < target,
-                                          jnp.logical_not(moved(c))),
-                inner_step, carry)
+
+            # skin trigger computed in the BODY, carried as a flag the
+            # cond reads (a while cond can't fuse with the body and runs
+            # its pmax as a separate program; ablate_burst.py)
+            def inner_step_flag(cf):
+                c, _ = cf
+                c = inner_step(c)
+                return (c, moved(c))
+
+            carry, _ = jax.lax.while_loop(
+                lambda cf: jnp.logical_and(cf[0][7] < target,
+                                           jnp.logical_not(cf[1])),
+                inner_step_flag, (carry, moved(carry)))
             return (carry, ovf)
 
         # step0 persists across blocks: the gid-keyed noise stream is a

@@ -32,13 +32,29 @@ def fence(x):
 
 
 def sources(sim, state):
-    nmat, pairs, hmat, seg_starts, dual_full, _ = sim._broad_phase(state.pos)
+    from mundy_tpu.constraints.collision import (body_pair_starts,
+                                                 pair_dual_slots)
+    from mundy_tpu.ops.segments import segment_windows
+
+    c = sim.config
+    pos = state.pos
+    nmat, pairs, hmat, seg_starts, dual_full, _ = sim._broad_phase(pos)
+    starts = body_pair_starts(nmat)
+    seg = segment_windows(pairs.i, c.num_spheres, sim.seg_block,
+                          sim.seg_window, body_starts=starts)
+    _dual, dual_missing = pair_dual_slots(pairs, starts, nmat)
+    import numpy as np
+    counts = np.diff(np.append(
+        np.asarray(jax.device_get(seg.starts)),
+        int(jax.device_get(pairs.num_pairs))))
     return {
         "nmat(rows)": bool(nmat.overflow),
         "pairs": bool(pairs.overflow),
+        "seg_windows": bool(seg.overflow),
+        "dual_missing": bool(dual_missing),
         "pairs_count_vs_cap": [int(pairs.num_pairs), sim.pair_capacity],
+        "seg_blockmax_vs_W": [int(counts.max()), sim.seg_window],
         "act_block_max_vs_W": [int(state.act_block_max), sim.act_window],
-        "seg_window": sim.seg_window,
     }
 
 

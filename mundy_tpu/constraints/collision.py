@@ -350,7 +350,8 @@ def active_pair_subset_strided(setup: CollisionSetup, margin,
                          dual=dual, gamma0=gamma0)
 
 
-def pair_dual_slots(pairs: PairList, starts: Array, nmat) -> tuple:
+def pair_dual_slots(pairs: PairList, starts: Array, nmat,
+                    near: Optional[Array] = None) -> tuple:
     """Full-list slot of each pair's (j, i) duplicate -> ((C,) int32, missing).
 
     The ordered layout stores every contact twice; the dual slot is what
@@ -358,10 +359,24 @@ def pair_dual_slots(pairs: PairList, starts: Array, nmat) -> tuple:
     sdot_p = c_i t_p + c_j t_{dual(p)} (ops/segments.strided_t). Same
     one-row-gather construction as remap_gamma: (j, i) sits at
     starts[j] + rank of i within j's neighbor row (build_pair_list_ordered
-    compacts nmat row-major). `missing` flags asymmetric rows (a truncated
-    neighbor row dropped one direction) — fold it into overflow; the dual
-    of a missing pair points at the pair itself with the safe consequence
-    that its j-side contribution reads its own t.
+    compacts nmat row-major). `missing` flags asymmetric rows — fold it
+    into overflow; the dual of a missing pair points at the pair itself
+    with the safe consequence that its j-side contribution reads its own t.
+
+    `near` ((C,) bool): restrict `missing` to pairs the flag can actually
+    matter for. Asymmetry has two causes: (a) a TRUNCATED neighbor row
+    dropped one direction (real overflow — but that also raises the
+    broad phase's own K-overflow flag), and (b) a pair within ~1 ulp of
+    the search radius whose two directions round the cutoff test
+    differently (the 9-stencil candidate planes pre-shift coordinates for
+    min-image, so (i, j) and (j, i) evaluate r^2 with different
+    roundings). Case (b) is physically irrelevant — the pair sits at the
+    FULL skin-buffer separation, provably outside every active margin
+    until the next skin-triggered rebuild — yet at 1M bodies it raises
+    the sticky overflow within ~10 steps of any window (observed as the
+    settle_overflow caveat on the north-star bench; benchmarks/
+    probe_settle.py). Callers pass near = (gap < buffer/2) at rebuild
+    positions so only contact-capable asymmetry trips the flag.
     """
     n = starts.shape[0] - 1
     c_full = pairs.i.shape[0]
@@ -376,7 +391,8 @@ def pair_dual_slots(pairs: PairList, starts: Array, nmat) -> tuple:
     hit = (t >= 0) & (slot < c_full)
     self_slot = jnp.arange(c_full, dtype=jnp.int32)
     dual = jnp.where(hit, slot, self_slot)
-    missing = jnp.any(live & ~hit)
+    relevant = live if near is None else (live & near)
+    missing = jnp.any(relevant & ~hit)
     return dual, missing
 
 

@@ -259,10 +259,21 @@ class LCPSpheresSim:
         seg = segment_windows(pairs.i, c.num_spheres, self.seg_block,
                               self.seg_window, body_starts=starts)
         # dual slots feed the block-local (scalar-mobility) Delassus apply;
-        # a missing dual means the neighbor rows truncated one direction of
-        # a contact — the pair list itself is then asymmetric (broken
-        # Newton pairs), so it is an overflow in every hydro mode
-        dual_full, dual_missing = pair_dual_slots(pairs, starts, nmat)
+        # a missing dual means the pair list is asymmetric (broken Newton
+        # pairs) — an overflow in every hydro mode, but ONLY for pairs
+        # that can reach contact before the next skin rebuild. Pairs
+        # within ~1 ulp of the search radius legitimately round the
+        # cutoff test differently per direction (pair_dual_slots
+        # docstring); they sit at the full buffer separation where
+        # gamma = 0 is provable, so they must not raise the sticky flag.
+        radius = (self.radii if self.radii is not None
+                  else jnp.asarray(c.radius, self.dtype))
+        setup_reb = collision_setup_spheres(pos, radius, pairs,
+                                            metric=self.metric)
+        near = setup_reb.sep0 < jnp.asarray(0.5 * c.constraint_buffer,
+                                            self.dtype)
+        dual_full, dual_missing = pair_dual_slots(pairs, starts, nmat,
+                                                  near=near)
         ovf = (clist_ovf | nmat.overflow | pairs.overflow | seg.overflow
                | dual_missing)
         if self.ewald is not None:

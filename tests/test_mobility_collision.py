@@ -370,6 +370,36 @@ def test_pair_dual_slots_points_at_reverse_pair(rng):
         assert d[d[s]] == s  # involution
 
 
+def test_pair_dual_slots_near_gates_missing(rng):
+    """`missing` fires only for asymmetric pairs the caller marks `near`:
+    a cutoff-boundary pair whose two directions round differently sits at
+    the full skin-buffer separation (gamma = 0 provable) and must not
+    raise the sticky overflow (the 1M settle_overflow caveat)."""
+    from mundy_tpu.constraints.collision import pair_dual_slots
+    from mundy_tpu.neighbor.cell_list import NeighborMatrix
+
+    _metric, _pos, nmat, pairs, starts, _dual = _ordered_pipeline(rng)
+    # break ONE direction: drop pair slot s's (j, i) duplicate from j's
+    # neighbor row (the shape of a one-sided cutoff rounding)
+    s = int(np.nonzero(np.asarray(pairs.mask))[0][0])
+    jj = int(pairs.j[s])
+    ii = int(pairs.i[s])
+    row = np.asarray(nmat.idx[jj])
+    lane = int(np.nonzero(row == ii)[0][0])
+    mask2 = np.asarray(nmat.mask).copy()
+    mask2[jj, lane] = False
+    nmat2 = NeighborMatrix(idx=nmat.idx, mask=jnp.asarray(mask2),
+                           overflow=nmat.overflow)
+    _d, missing_all = pair_dual_slots(pairs, starts, nmat2)
+    assert bool(missing_all)  # ungated: asymmetry flags
+    near_no = jnp.zeros(pairs.i.shape, bool).at[s].set(False)
+    near_yes = jnp.zeros(pairs.i.shape, bool).at[s].set(True)
+    _d, m_far = pair_dual_slots(pairs, starts, nmat2, near=near_no)
+    _d, m_near = pair_dual_slots(pairs, starts, nmat2, near=near_yes)
+    assert not bool(m_far)  # boundary pair, not near contact: benign
+    assert bool(m_near)  # contact-capable asymmetry still trips
+
+
 def test_fused_drag_apply_matches_general(rng):
     """Block-local fused Delassus apply == D^T M D chain for scalar drag,
     arbitrary (not necessarily symmetric) gamma."""

@@ -77,7 +77,23 @@ def main(chains=2048):
     cells = build_cells3d(pos, sim.hydro_cells_grid)
     timeit(jax.jit(lambda f: ewald_real_apply_cells(
         sim.spectral.base, cells, f, (sim.config.box_size,) * 3)),
-        f0, tag="real-space apply (cells3d)")
+        f0, tag="real-space apply (plain cells3d)")
+    if sim.hydro_split is not None:
+        from mundy_tpu.neighbor.cells3d import (build_cells3d_split,
+                                                pair_apply_cells3d_split)
+        from mundy_tpu.mobility.ewald import rpy_real_cells_kernel
+        c_ex, dc_cap = sim.hydro_split
+        print(f"split: c_lo={sim.hydro_split_grid.capacity} "
+              f"c_ex={c_ex} dc_cap={dc_cap}", flush=True)
+        kern = rpy_real_cells_kernel(sim.spectral.base)
+
+        def real_split(p, f):
+            split = build_cells3d_split(p, sim.hydro_split_grid,
+                                        c_ex, dc_cap)
+            return pair_apply_cells3d_split(
+                split, (sim.config.box_size,) * 3, f, kern, 3)
+        timeit(jax.jit(real_split), pos, f0,
+               tag="real-space split (build+apply)")
 
     # the wave chain as ONE jit: a (G, G, G, 3) jit boundary tile-pads the
     # minor axis of 3 to 128 lanes — 32.7 GB at G=400 (the (M, 3) rule)

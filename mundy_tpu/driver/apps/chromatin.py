@@ -294,6 +294,7 @@ class ChromatinSim:
             g3 = make_cell_grid3d([c.box_size] * 3, edge, self.N,
                                   dtype=self.dtype)
             self.hydro_cells_grid = g3.replace(capacity=max(g3.capacity, cap))
+            self.hydro_split = None  # set by init() from measured skew
             if mesh is not None:
                 dmesh = mesh.shape[mesh_axis]
                 assert self.N % dmesh == 0, \
@@ -387,10 +388,45 @@ class ChromatinSim:
             dims = np.asarray([g3.nx, g3.ny, g3.nz])
             ic = np.clip((p / edge).astype(int), 0, dims - 1)
             cell = (ic[:, 0] * g3.ny + ic[:, 1]) * g3.nz + ic[:, 2]
-            occ3 = int(np.bincount(cell, minlength=dims.prod()).max())
+            counts3 = np.bincount(cell, minlength=dims.prod())
+            occ3 = int(counts3.max())
             cap3 = max(8, ((int(occ3 * 1.4) + 4 + 7) // 8) * 8)
             if cap3 < g3.capacity:
                 self.hydro_cells_grid = g3.replace(capacity=cap3)
+            # density-split real space: clustered chains put the MAX cell
+            # occupancy several times the MEAN, and the dense pair scan
+            # costs ~ capacity^2 per cell — the split runs the quadratic
+            # pass at a low capacity and corrects the few dense cells
+            # compactly (cells3d.pair_apply_cells3d_split). The base
+            # capacity c_lo comes from a MEASURED-histogram cost model
+            # (not a mean heuristic: a 2x-mean cut once classified 17% of
+            # 1M-bead cells dense and the compact passes dwarfed the win):
+            #   A      ~ n_cells * 27 * c_lo^2        (base pair scan)
+            #   B'+C'D ~ DC * 27 * (c_lo*ex + ex*(c_lo+ex))  (dense cells)
+            #   scatter ~ 130 * DC * 27 * c_lo        (9 ns/row ~ 120 evals)
+            # picked over the 8-aligned grid, split enabled only when the
+            # best split beats the no-split cost by >= 20%.
+            self.hydro_split = None
+            n_cells3 = int(dims.prod())
+            cap_now = self.hydro_cells_grid.capacity
+            best = (float(n_cells3) * 27.0 * cap_now * cap_now, None)
+            for c_lo in range(8, cap_now, 8):
+                n_dense = int(np.sum(counts3 > c_lo))
+                if n_dense == 0:
+                    continue
+                ex = max(8, ((int((occ3 - c_lo) * 1.4) + 8 + 7) // 8) * 8)
+                dc = max(64, ((int(n_dense * 1.5) + 63) // 64) * 64)
+                est = (n_cells3 * 27.0 * c_lo * c_lo
+                       + dc * 27.0 * (c_lo * ex + ex * (c_lo + ex))
+                       + 130.0 * dc * 27.0 * c_lo)
+                if est < best[0]:
+                    best = (est, (c_lo, ex, dc))
+            no_split = float(n_cells3) * 27.0 * cap_now * cap_now
+            if best[1] is not None and best[0] < 0.8 * no_split:
+                c_lo, c_ex, dc_cap = best[1]
+                self.hydro_split_grid = self.hydro_cells_grid.replace(
+                    capacity=c_lo)
+                self.hydro_split = (c_ex, dc_cap)
             if self._mesh is not None:
                 self._make_sharded_se()
 
@@ -729,10 +765,16 @@ class ChromatinSim:
                 state = state.replace(overflow=state.overflow | se_ovf)
             else:
                 from mundy_tpu.mobility.spectral import se_rpy_apply_cells
-                from mundy_tpu.neighbor.cells3d import build_cells3d
+                from mundy_tpu.neighbor.cells3d import (build_cells3d,
+                                                        build_cells3d_split)
                 from mundy_tpu.mobility.spectral import se_bin_geom
                 pieces = se_bin_geom(self.se_geom, state.pos, self.dtype)
-                cells = build_cells3d(state.pos, self.hydro_cells_grid)
+                if self.hydro_split is not None:
+                    c_ex, dc_cap = self.hydro_split
+                    cells = build_cells3d_split(
+                        state.pos, self.hydro_split_grid, c_ex, dc_cap)
+                else:
+                    cells = build_cells3d(state.pos, self.hydro_cells_grid)
                 vel, se_ovf = se_rpy_apply_cells(
                     self.spectral, cells, state.pos, f, (c.box_size,) * 3,
                     self.se_geom, pieces=pieces)
@@ -872,6 +914,9 @@ class ChromatinSim:
             g3 = self.hydro_cells_grid
             self.hydro_cells_grid = g3.replace(
                 capacity=grow_int(g3.capacity))
+            if self.hydro_split is not None:
+                c_ex, dc_cap = self.hydro_split
+                self.hydro_split = (grow_int(c_ex), grow_int(dc_cap))
             if self._mesh is not None:
                 self._make_sharded_se()
         self.__dict__.pop("_run_jit", None)

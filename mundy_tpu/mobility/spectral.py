@@ -422,10 +422,23 @@ def se_rpy_apply_cells(op: SpectralEwaldRPY, cells, pos: Array,
     Returns (u, overflow): `overflow` flags SE-grid binning row overflow —
     an overflowed slot is DROPPED from the wave sum, so callers must fold
     this into their sticky overflow flag (silently wrong hydrodynamics
-    otherwise)."""
-    from mundy_tpu.mobility.ewald import ewald_real_apply_cells
+    otherwise).
 
-    u = ewald_real_apply_cells(op.base, cells, forces, box_lengths)
+    `cells` may also be a CellsSplitState (neighbor.cells3d
+    build_cells3d_split): the real-space sum then runs the density-split
+    engine — base grid at ~2x-mean capacity plus compact dense-cell
+    passes — which removes the (C_max/C_mean)^2 clustered-occupancy
+    waste of the plain dense scan."""
+    from mundy_tpu.mobility.ewald import (ewald_real_apply_cells,
+                                          rpy_real_cells_kernel)
+    from mundy_tpu.neighbor.cells3d import (CellsSplitState,
+                                            pair_apply_cells3d_split)
+
+    if isinstance(cells, CellsSplitState):
+        u = pair_apply_cells3d_split(cells, box_lengths, forces,
+                                     rpy_real_cells_kernel(op.base), 3)
+    else:
+        u = ewald_real_apply_cells(op.base, cells, forces, box_lengths)
     uw, ovf = se_wave_apply_dense(op, geom, pos, forces, pieces=pieces)
     return u + uw, ovf
 

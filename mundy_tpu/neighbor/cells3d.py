@@ -222,3 +222,199 @@ def gather_from_flat(state: Cells3DState, values: Array) -> Array:
     v = values[jnp.minimum(perm.reshape(-1), n - 1)]
     v = jnp.where((perm.reshape(-1) < n)[:, None], v, 0.0)
     return v.reshape(perm.shape + (values.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# Density-split engine: the dense layout pays the GLOBAL max occupancy C in
+# every cell, and the pair scan costs ~ C^2 per cell — clustered states
+# (HP1 chromatin globules: measured max 50 vs mean 12 at r_cut 3.5) waste
+# (C_max / C_mean)^2 ~ 15-35x of the VPU-bound pair evaluations. The split
+# keeps a BASE grid at a low capacity C_lo (~2x mean) plus a COMPACT list
+# of the few dense cells carrying the excess particles; the quadratic pass
+# runs at C_lo^2 and the dense-cell corrections run over O(DC) cells, not
+# O(n_cells). ref: the reference offloads this whole interaction class to
+# PVFMM (TPLsList.cmake:29) — this split is the TPU-dense-engine answer to
+# the same clustering problem.
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class CellsSplitState:
+    """build_cells3d_split result: base grid + compact dense-cell excess."""
+
+    base: Cells3DState  # capacity C_lo; ranks >= C_lo are NOT an overflow
+    xs_pos: Array  # (DC, CE, 3) excess positions (sentinel on empty)
+    xs_perm: Array  # (DC, CE) particle id per excess slot (n = empty)
+    dc_cell: Array  # (DC,) flat cell id of each dense cell (n_cells = pad)
+    dense_of: Array  # (n_cells,) dense slot of a cell (DC = not dense)
+    overflow: Array  # () bool: dense cells > DC or a cell > C_lo + CE
+
+
+def build_cells3d_split(pos: Array, grid: CellGrid3D, c_ex: int,
+                        dc_cap: int) -> CellsSplitState:
+    """Flat (N, 3) -> base cells at grid.capacity (= C_lo) + compact
+    excess: particles with in-cell rank >= C_lo land in per-dense-cell
+    slots (dense cell = count > C_lo; at most dc_cap of them, each with
+    c_ex excess slots). One sort + three scatters."""
+    n = pos.shape[0]
+    C = grid.capacity
+    dims = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.int32)
+    ic = jnp.clip(((pos - grid.origin) / grid.edge).astype(jnp.int32),
+                  0, dims - 1)
+    cell = (ic[:, 0] * grid.ny + ic[:, 1]) * grid.nz + ic[:, 2]
+    order = jnp.argsort(cell)
+    cell_s = cell[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
+    starts = jnp.where(first, jnp.arange(n, dtype=jnp.int32), 0)
+    cell_start = jax.lax.associative_scan(jnp.maximum, starts)
+    rank = jnp.arange(n, dtype=jnp.int32) - cell_start
+    n_cells = grid.nx * grid.ny * grid.nz
+    counts = jnp.zeros((n_cells,), jnp.int32).at[cell].add(1)
+
+    dense = counts > C
+    dcum = jnp.cumsum(dense.astype(jnp.int32))
+    n_dense = dcum[n_cells - 1]
+    dense_of = jnp.where(dense, jnp.minimum(dcum - 1, dc_cap), dc_cap)
+    dense_of = dense_of.astype(jnp.int32)
+    dc_cell = jnp.full((dc_cap + 1,), n_cells, jnp.int32).at[dense_of].set(
+        jnp.arange(n_cells, dtype=jnp.int32), mode="drop")[:dc_cap]
+    overflow = (n_dense > dc_cap) | jnp.any(counts > C + c_ex)
+
+    # base slots (rank < C) — identical layout to build_cells3d
+    slot = cell_s * C + jnp.minimum(rank, C - 1)
+    slot = jnp.where(rank < C, slot, n_cells * C)
+    ext_y = grid.edge[1] * grid.ny
+    sentinel_y = grid.origin[1] - 1e6 * (ext_y + 1.0)
+    flat_pos = jnp.zeros((n_cells * C, 3), pos.dtype)
+    flat_pos = flat_pos.at[:, 1].set(sentinel_y.astype(pos.dtype))
+    flat_pos = flat_pos.at[slot].set(pos[order], mode="drop")
+    flat_perm = jnp.full((n_cells * C,), n, jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode="drop")
+    shape = (grid.nx, grid.ny, grid.nz, C)
+    base = Cells3DState(grid=grid, pos=flat_pos.reshape(shape + (3,)),
+                        perm=flat_perm.reshape(shape),
+                        overflow=jnp.asarray(False))
+
+    # excess slots (rank in [C, C + c_ex), dense slot of the cell)
+    d_of = dense_of[cell_s]
+    xrank = rank - C
+    xslot = jnp.where((rank >= C) & (xrank < c_ex) & (d_of < dc_cap),
+                      d_of * c_ex + xrank, dc_cap * c_ex)
+    xs_pos = jnp.zeros((dc_cap * c_ex + 1, 3), pos.dtype)
+    xs_pos = xs_pos.at[:, 1].set(sentinel_y.astype(pos.dtype))
+    xs_pos = xs_pos.at[xslot].set(pos[order], mode="drop")[:dc_cap * c_ex]
+    xs_perm = jnp.full((dc_cap * c_ex + 1,), n, jnp.int32).at[xslot].set(
+        order.astype(jnp.int32), mode="drop")[:dc_cap * c_ex]
+    return CellsSplitState(base=base,
+                           xs_pos=xs_pos.reshape(dc_cap, c_ex, 3),
+                           xs_perm=xs_perm.reshape(dc_cap, c_ex),
+                           dc_cell=dc_cell, dense_of=dense_of,
+                           overflow=overflow)
+
+
+def pair_apply_cells3d_split(
+    split: CellsSplitState,
+    box_lengths,
+    forces: Array,  # flat (n, D)
+    kernel: Callable[..., Array],
+    out_dim: int,
+    hbm_budget_bytes: float = 2.0e9,
+    dc_chunk: int = 128,
+) -> Array:
+    """Full pairwise sum (same kernel contract as pair_apply_cells3d) as
+    base x base (dense quadratic pass at C_lo) + three compact dense-cell
+    passes. Ordered pairs partition exactly by (target class, source
+    class): A base<-base on the grid; B' base<-excess and C'/D'
+    excess<-(base+excess) over each dense cell's 27-neighborhood (sources
+    farther than one cell vanish by the kernel's cutoff). Every particle's
+    self-pair appears exactly once (A for base ranks, D' for excess).
+    Returns flat (n, out_dim)."""
+    base = split.base
+    grid = base.grid
+    nx, ny, nz, C = base.perm.shape
+    n_cells = nx * ny * nz
+    n, D = forces.shape
+    dtype = base.pos.dtype
+    L = tuple(float(v) for v in box_lengths)
+    DC, CE = split.xs_perm.shape
+
+    payload = gather_from_flat(base, forces)
+    uA = pair_apply_cells3d(base, box_lengths, payload, kernel, out_dim,
+                            hbm_budget_bytes)
+    out = jnp.zeros((n + 1, out_dim), dtype)
+    flat_perm = base.perm.reshape(-1)
+    out = out.at[jnp.minimum(flat_perm, n)].add(
+        uA.reshape(-1, out_dim), mode="drop")
+
+    # --- compact dense-cell machinery ---
+    ci = jnp.minimum(split.dc_cell, n_cells - 1)  # (DC,) clamped pad
+    cxi = ci // (ny * nz)
+    cyi = (ci // nz) % ny
+    czi = ci % nz
+    noff, shifts = [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                nix = (cxi + dx) % nx
+                niy = (cyi + dy) % ny
+                niz = (czi + dz) % nz
+                noff.append((nix * ny + niy) * nz + niz)
+                sx = jnp.where(cxi + dx >= nx, L[0],
+                               jnp.where(cxi + dx < 0, -L[0], 0.0))
+                sy = jnp.where(cyi + dy >= ny, L[1],
+                               jnp.where(cyi + dy < 0, -L[1], 0.0))
+                sz = jnp.where(czi + dz >= nz, L[2],
+                               jnp.where(czi + dz < 0, -L[2], 0.0))
+                shifts.append(jnp.stack([sx, sy, sz], -1).astype(dtype))
+    ncell = jnp.stack(noff, axis=1)  # (DC, 27)
+    shift = jnp.stack(shifts, axis=1)  # (DC, 27, 3)
+
+    bpos = base.pos.reshape(n_cells, C, 3)
+    bpay = payload.reshape(n_cells, C, D)
+    bperm = base.perm.reshape(n_cells, C)
+    # neighborhood base candidates in the dense cell's frame (source
+    # coords shifted by the periodic image; sentinel + L stays far)
+    cand_pos = bpos[ncell] + shift[:, :, None, :]  # (DC, 27, C, 3)
+    cand_pay = bpay[ncell]  # (DC, 27, C, D)
+    # neighborhood excess candidates via the cell -> dense-slot map
+    xs_pay = jnp.where((split.xs_perm < n)[..., None],
+                       forces[jnp.minimum(split.xs_perm, n - 1)], 0.0)
+    xs_pos_p = jnp.concatenate(
+        [split.xs_pos,
+         jnp.full((1, CE, 3), 0.0, dtype).at[..., 1].set(
+             -1e6 * (float(L[1]) + 1.0))], axis=0)  # (DC+1, CE, 3) pad row
+    xs_pay_p = jnp.concatenate([xs_pay, jnp.zeros((1, CE, D), dtype)], 0)
+    nd = split.dense_of[ncell]  # (DC, 27) dense slot of neighbor (DC pad)
+    xcand_pos = xs_pos_p[nd] + shift[:, :, None, :]  # (DC, 27, CE, 3)
+    xcand_pay = xs_pay_p[nd]  # (DC, 27, CE, D)
+
+    def pair_block(tgt, cpos, cpay):
+        # tgt (b, T, 3), cpos (b, S, 3), cpay (b, S, D) -> (b, T, out_dim)
+        DX = cpos[..., None, :, 0] - tgt[..., :, None, 0]
+        DY = cpos[..., None, :, 1] - tgt[..., :, None, 1]
+        DZ = cpos[..., None, :, 2] - tgt[..., :, None, 2]
+        r2 = DX * DX + DY * DY + DZ * DZ
+        return kernel(DX, DY, DZ, r2, cpay)
+
+    # C' + D': excess targets <- all 27-neighborhood sources
+    cpos_all = jnp.concatenate([cand_pos.reshape(DC, 27 * C, 3),
+                                xcand_pos.reshape(DC, 27 * CE, 3)], axis=1)
+    cpay_all = jnp.concatenate([cand_pay.reshape(DC, 27 * C, D),
+                                xcand_pay.reshape(DC, 27 * CE, D)], axis=1)
+    uX = jax.lax.map(lambda a: pair_block(a[0], a[1], a[2]),
+                     (split.xs_pos, cpos_all, cpay_all),
+                     batch_size=min(dc_chunk, DC))  # (DC, CE, out)
+    out = out.at[jnp.minimum(split.xs_perm.reshape(-1), n)].add(
+        uX.reshape(-1, out_dim), mode="drop")
+
+    # B': neighborhood base targets <- this dense cell's excess sources.
+    # Deltas in the dense cell's frame: the target sits at cand_pos
+    # (already image-shifted), the source is the unshifted excess.
+    uB = jax.lax.map(
+        lambda a: pair_block(a[0].reshape(27 * C, 3), a[1], a[2]),
+        (cand_pos, split.xs_pos, xs_pay),
+        batch_size=min(dc_chunk, DC))  # (DC, 27C, out)
+    tgt_ids = bperm[ncell].reshape(-1)  # (DC*27*C,)
+    out = out.at[jnp.minimum(tgt_ids, n)].add(
+        uB.reshape(-1, out_dim), mode="drop")
+    return out[:n]

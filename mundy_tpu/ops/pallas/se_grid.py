@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -648,77 +649,160 @@ def _tile_windows(geom: SEGridTiles, u: Array, i0: Array, dtype):
     return window_weights_1d(geom, s - u[:, None], dtype)
 
 
+def _placement_matrix(G: int, m: int, P: int, dtype=jnp.float32) -> Array:
+    """(G, nt1*W) static 0/1 placement: column nt*W + w contributes to grid
+    row (nt*m + w - P//2) mod G. Folding a slab axis into the grid axis as
+    ONE placement GEMM replaces the roll-based combine's W shifted
+    full-slab adds — the combine was measured as ~85% of the spread cost
+    at 1M beads (the (W, W, 3) minor axes tile-pad 42x, and each of the W
+    rolls streams the whole padded slab)."""
+    W = m + P
+    nt1 = G // m
+    S = np.zeros((G, nt1 * W), np.float32)
+    for nt in range(nt1):
+        for w in range(W):
+            S[(nt * m + w - P // 2) % G, nt * W + w] = 1.0
+    return jnp.asarray(S, dtype)
+
+
 def se_spread_tiles(geom: SEGridTiles, pieces, forces: Array,
                     tile_batch: int = 128) -> Array:
-    """(G, G, G, 3) spread grid via per-tile MXU contractions."""
+    """(G, G, G, 3) spread grid via per-tile MXU contractions.
+
+    Scans over x-planes of tiles (nt1 steps). Per tile the window outer
+    product contracts slots on the MXU into a FLAT (Wx, Wy*Wz*3) slab —
+    the minor axis pads ~9% instead of the 42x a trailing (..., W, 3)
+    layout pays. The plane's y/z slab axes fold into grid axes by two
+    placement GEMMs (static 0/1 matrices, exact in the f32 HIGHEST
+    decomposition); only the W x-rows scatter-add into the carried grid.
+    The one-shot all-tiles form OOMed at 1M beads (the full
+    (n_tiles, W, W, W, 3) tensor is ~11 GB padded), and the roll-based
+    per-plane combine cost ~400 of 465 ms (ablation in PERF.md)."""
     G, m, P, R = geom.G, geom.m, geom.P, geom.R
     W = m + P
     nt1 = G // m
-    n_tiles = nt1 ** 3
     dtype = forces.dtype
     n = forces.shape[0]
     perm, _ovf, u, valid, _slot_of = pieces
     f = jnp.where(valid[..., None], forces[jnp.minimum(perm, n - 1)], 0.0)
-    ix, iy, iz = _tile_origins(geom)
     hi = jax.lax.Precision.HIGHEST
+    # tile coords within ONE x-plane (identical for every plane)
+    j = jnp.arange(nt1 * nt1, dtype=jnp.int32)
+    iy_p, iz_p = j // nt1, j % nt1
+    S = _placement_matrix(G, m, P, dtype).reshape(G, nt1, W)
 
-    def body(args):
-        # ONE tile (lax.map with batch_size vmaps this -> batched MXU
-        # contraction 'brq,brk->bqk' with M = W^2 filling the 128 rows)
-        ur, vr, fr, ixr, iyr, izr = args
-        wx = jnp.where(vr[:, None],
-                       _tile_windows(geom, ur[:, 0], ixr, dtype), 0.0)
-        wy = _tile_windows(geom, ur[:, 1], iyr, dtype)
-        wz = _tile_windows(geom, ur[:, 2], izr, dtype)
-        wxy = (wx[:, :, None] * wy[:, None, :]).reshape(R, W * W)
-        wzf = (wz[:, :, None] * fr[:, None, :]).reshape(R, W * 3)
-        return jnp.einsum("rq,rk->qk", wxy, wzf,
-                          precision=hi).reshape(W, W, W, 3)
+    u_p = u.reshape(nt1, nt1 * nt1, R, 3)
+    v_p = valid.reshape(nt1, nt1 * nt1, R)
+    f_p = f.reshape(nt1, nt1 * nt1, R, 3)
 
-    slabs = jax.lax.map(body, (u, valid, f, ix, iy, iz),
-                        batch_size=min(tile_batch, n_tiles))
-    s = slabs.reshape(nt1, nt1, nt1, W, W, W, 3)
-    s = _combine_axis(s, G, m, P, axis_rows=0, axis_w=3)  # (Gx, nty, ntz, Wy, Wz, 3)
-    s = _combine_axis(s, G, m, P, axis_rows=1, axis_w=3)  # (Gy, Gx, ntz, Wz, 3)
-    s = _combine_axis(s, G, m, P, axis_rows=2, axis_w=3)  # (Gz, Gy, Gx, 3)
-    return jnp.transpose(s, (2, 1, 0, 3))
+    def plane(acc, xs):
+        px, u_r, v_r, f_r = xs
+
+        def body(args):
+            # ONE tile (lax.map with batch_size vmaps this -> a batched
+            # MXU contraction over the R slots)
+            ur, vr, fr, iyr, izr = args
+            wx = jnp.where(vr[:, None],
+                           _tile_windows(geom, ur[:, 0], px, dtype), 0.0)
+            wy = _tile_windows(geom, ur[:, 1], iyr, dtype)
+            wz = _tile_windows(geom, ur[:, 2], izr, dtype)
+            wzf = (wz[:, :, None] * fr[:, None, :]).reshape(R, W * 3)
+            c1 = (wy[:, :, None] * wzf[:, None, :]).reshape(R, W * W * 3)
+            return jnp.einsum("rx,rq->xq", wx, c1, precision=hi)
+
+        slabs = jax.lax.map(body, (u_r, v_r, f_r, iy_p, iz_p),
+                            batch_size=min(tile_batch, nt1 * nt1))
+        # (nty, ntz, Wx, Wy, Wz*3) -> fold y then z into grid axes
+        s = slabs.reshape(nt1, nt1, W, W, W * 3)
+        s = jnp.einsum("gnq,nzxqk->gzxk", S, s, precision=hi)
+        # (Gy, ntz, Wx, Wz*3) -> (Gz, Gy, Wx, 3)
+        s = jnp.einsum("hzw,gzxwc->hgxc", S,
+                       s.reshape(G, nt1, W, W, 3), precision=hi)
+        s = jnp.transpose(s, (2, 1, 0, 3))  # (Wx, Gy, Gz, 3)
+        # contiguous slice-add into the x-PADDED accumulator: plane px's
+        # rows are [px*m, px*m + W) in padded coords (offset P//2), so no
+        # wraparound and no dynamic-index scatter (a W-row .at[rows].add
+        # gather/scatter measured ~180 ms per apply at G=400)
+        row0 = px * m
+        z = jnp.zeros((), row0.dtype)
+        cur = jax.lax.dynamic_slice(acc, (row0, z, z, z), (W, G, G, 3))
+        return jax.lax.dynamic_update_slice(acc, cur + s,
+                                            (row0, z, z, z)), None
+
+    ph = P // 2
+    # seed from the input so the carry carries the same varying-manual-axes
+    # type as the body output under shard_map (a plain zeros carry fails
+    # scan's carry-type check inside sharded callers)
+    acc0 = jnp.zeros((G + P, G, G, 3), dtype) + (jnp.sum(f) * 0).astype(dtype)
+    acc, _ = jax.lax.scan(
+        plane, acc0,
+        (jnp.arange(nt1, dtype=jnp.int32), u_p, v_p, f_p))
+    # fold the periodic pad ends: padded row a = grid row (a - ph) mod G
+    grid = acc[ph:ph + G]
+    grid = grid.at[G - ph:].add(acc[:ph])
+    grid = grid.at[:P - ph].add(acc[G + ph:])
+    return grid
 
 
 def se_interp_tiles(geom: SEGridTiles, pieces, grid: Array,
                     tile_batch: int = 128) -> Array:
     """Interpolate grid velocities to particles: transposed contraction
-    over per-tile slab views (the memory mirror of se_spread_tiles)."""
+    over per-tile slab views (the memory mirror of se_spread_tiles —
+    same x-plane scan, gathering each plane's W x-rows from the grid
+    instead of materializing all (n_tiles, W, W, W, 3) slab views)."""
     G, m, P, R = geom.G, geom.m, geom.P, geom.R
     W = m + P
     nt1 = G // m
     dtype = grid.dtype
     perm, _ovf, u, valid, slot_of = pieces
-    ix, iy, iz = _tile_origins(geom)
     hi = jax.lax.Precision.HIGHEST
+    j = jnp.arange(nt1 * nt1, dtype=jnp.int32)
+    iy_p, iz_p = j // nt1, j % nt1
 
-    g = jnp.transpose(grid, (2, 1, 0, 3))        # (Gz, Gy, Gx, 3)
-    s = _extract_axis(g, G, m, P)                # (ntz, Wz, Gy, Gx, 3)
-    s = jnp.moveaxis(s, 2, 0)                    # (Gy, ntz, Wz, Gx, 3)
-    s = _extract_axis(s, G, m, P)                # (nty, Wy, ntz, Wz, Gx, 3)
-    s = jnp.moveaxis(s, 4, 0)                    # (Gx, nty, Wy, ntz, Wz, 3)
-    s = _extract_axis(s, G, m, P)                # (ntx, Wx, nty, Wy, ntz, Wz, 3)
-    s = jnp.transpose(s, (0, 2, 4, 1, 3, 5, 6))  # (ntx, nty, ntz, Wx, Wy, Wz, 3)
-    slabs = s.reshape(nt1 ** 3, W, W, W, 3)
+    u_p = u.reshape(nt1, nt1 * nt1, R, 3)
+    v_p = valid.reshape(nt1, nt1 * nt1, R)
+    S = _placement_matrix(G, m, P, dtype).reshape(G, nt1, W)
 
-    def body(args):
-        # ONE tile (vmapped by lax.map)
-        ur, vr, ixr, iyr, izr, sl = args
-        wx = jnp.where(vr[:, None],
-                       _tile_windows(geom, ur[:, 0], ixr, dtype), 0.0)
-        wy = _tile_windows(geom, ur[:, 1], iyr, dtype)
-        wz = _tile_windows(geom, ur[:, 2], izr, dtype)
-        wxy = (wx[:, :, None] * wy[:, None, :]).reshape(R, W * W)
-        zl = jnp.einsum("rq,qk->rk", wxy,
-                        sl.reshape(W * W, W * 3), precision=hi)
-        return jnp.sum(zl.reshape(R, W, 3) * wz[:, :, None], axis=1)
+    # x-padded grid: plane px's rows are the contiguous slice
+    # [px*m, px*m + W) — a dynamic_slice instead of a W-row dynamic-index
+    # gather (the gather measured ~180 ms per apply at G=400)
+    ph = P // 2
+    gpad = jnp.concatenate([grid[G - ph:], grid, grid[:P - ph]], axis=0)
 
-    out = jax.lax.map(body, (u, valid, ix, iy, iz, slabs),
-                      batch_size=min(tile_batch, nt1 ** 3))
+    def plane(_, xs):
+        px, u_r, v_r = xs
+        row0 = px * m
+        z = jnp.zeros((), row0.dtype)
+        gx = jax.lax.dynamic_slice(
+            gpad, (row0, z, z, z), (W, G, G, 3))     # (Wx, Gy, Gz, 3)
+        # transposed placement GEMMs (the extract mirror of the spread's
+        # combine GEMMs — see _placement_matrix for why not roll-based)
+        s = jnp.einsum("gnq,xghc->nqxhc", S, gx,
+                       precision=hi)                 # (nty, Wy, Wx, Gz, 3)
+        s = jnp.einsum("hzw,nqxhc->nzxqwc", S, s,
+                       precision=hi)                 # (nty, ntz, Wx, Wy, Wz, 3)
+        slabs = s.reshape(nt1 * nt1, W, W * W * 3)   # (tiles, Wx, Wy*Wz3)
+
+        def body(args):
+            # ONE tile (vmapped by lax.map)
+            ur, vr, iyr, izr, sl = args
+            wx = jnp.where(vr[:, None],
+                           _tile_windows(geom, ur[:, 0], px, dtype), 0.0)
+            wy = _tile_windows(geom, ur[:, 1], iyr, dtype)
+            wz = _tile_windows(geom, ur[:, 2], izr, dtype)
+            t1 = jnp.einsum("rx,xq->rq", wx, sl,
+                            precision=hi)            # (R, Wy*Wz3)
+            t2 = jnp.einsum("rq,rqk->rk", wy, t1.reshape(R, W, W * 3),
+                            precision=hi)            # (R, Wz3)
+            return jnp.sum(t2.reshape(R, W, 3) * wz[:, :, None], axis=1)
+
+        out_r = jax.lax.map(body, (u_r, v_r, iy_p, iz_p, slabs),
+                            batch_size=min(tile_batch, nt1 * nt1))
+        return None, out_r
+
+    _, out = jax.lax.scan(
+        plane, None,
+        (jnp.arange(nt1, dtype=jnp.int32), u_p, v_p))
     # unsort by the inverse map: one (N,) row gather (never a slot scatter)
     flat = jnp.concatenate([out.reshape(-1, 3),
                             jnp.zeros((1, 3), dtype)], axis=0)

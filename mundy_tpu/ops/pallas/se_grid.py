@@ -761,6 +761,7 @@ def se_interp_tiles(geom: SEGridTiles, pieces, grid: Array,
 
     u_p = u.reshape(nt1, nt1 * nt1, R, 3)
     v_p = valid.reshape(nt1, nt1 * nt1, R)
+    S = _placement_matrix(G, m, P, dtype).reshape(G, nt1, W)
 
     # x-padded grid: plane px's rows are the contiguous slice
     # [px*m, px*m + W) — a dynamic_slice instead of a W-row dynamic-index
@@ -768,31 +769,18 @@ def se_interp_tiles(geom: SEGridTiles, pieces, grid: Array,
     ph = P // 2
     gpad = jnp.concatenate([grid[G - ph:], grid, grid[:P - ph]], axis=0)
 
-    def _window_views(a, axis):
-        """(.., G+P at `axis`, ..) -> stack of W m-strided views: view w
-        holds rows [w, w + m, ..., w + (nt1-1)m] — the overlapping
-        (tile, W) slab windows of that axis as STATIC strided slices
-        (extraction via transposed placement GEMMs measured ~255 ms per
-        apply at G=400; these W slices are pure relayout)."""
-        outs = []
-        for w in range(W):
-            outs.append(jax.lax.slice_in_dim(
-                a, w, w + (nt1 - 1) * m + 1, stride=m, axis=axis))
-        return jnp.stack(outs, axis=0)  # (W, .., nt1 at `axis`, ..)
-
     def plane(_, xs):
         px, u_r, v_r = xs
         row0 = px * m
         z = jnp.zeros((), row0.dtype)
         gx = jax.lax.dynamic_slice(
             gpad, (row0, z, z, z), (W, G, G, 3))     # (Wx, Gy, Gz, 3)
-        # pad y and z, then strided window views per axis
-        gp = jnp.concatenate([gx[:, G - ph:], gx, gx[:, :P - ph]], axis=1)
-        gp = jnp.concatenate([gp[:, :, G - ph:], gp, gp[:, :, :P - ph]],
-                             axis=2)                 # (Wx, Gy+P, Gz+P, 3)
-        s = _window_views(gp, axis=1)                # (Wy, Wx, nty, Gz+P, 3)
-        s = _window_views(s, axis=3)                 # (Wz, Wy, Wx, nty, ntz, 3)
-        s = jnp.transpose(s, (3, 4, 2, 1, 0, 5))     # (nty, ntz, Wx, Wy, Wz, 3)
+        # transposed placement GEMMs (the extract mirror of the spread's
+        # combine GEMMs — see _placement_matrix for why not roll-based)
+        s = jnp.einsum("gnq,xghc->nqxhc", S, gx,
+                       precision=hi)                 # (nty, Wy, Wx, Gz, 3)
+        s = jnp.einsum("hzw,nqxhc->nzxqwc", S, s,
+                       precision=hi)                 # (nty, ntz, Wx, Wy, Wz, 3)
         slabs = s.reshape(nt1 * nt1, W, W * W * 3)   # (tiles, Wx, Wy*Wz3)
 
         def body(args):
